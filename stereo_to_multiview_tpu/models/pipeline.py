@@ -1,0 +1,171 @@
+"""Whole-frame pipelines -- the TPU analog of the reference orchestrator.
+
+`process_frame` mirrors adcensus_stm's contract (d_io.h:32-40, d_io.cu:7-238):
+SBS uint8 frame in -> (disp_l, disp_r, interlaced) out, with every stage in
+one traced graph.  Where the reference cudaMallocs/frees every buffer per
+frame and cudaDeviceSynchronizes between stages, here XLA owns scheduling and
+memory: one compile, zero per-frame allocation chatter, fused elementwise
+chains.
+
+`process_frame_lowres` mirrors adcensus_stm_2 (d_io.cu:240-508): disparity
+estimated at a reduced resolution, upscaled with value scaling, DIBR + mux at
+full resolution.
+
+Stage order (d_io.cu:43-205):
+  demux_sbs -> ci_adcensus -> cross arms/aggregate (LR) -> [optional hslo]
+  -> wta (LR) -> dcc -> irv x iterations (LR) -> bilateral (LR)
+  -> dibr_occl -> bleed (LR) -> occl_to_mask (LR)
+  -> dibr_dbm per intermediate view -> mux_multiview
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from stereo_to_multiview_tpu.config import PipelineConfig
+from stereo_to_multiview_tpu import ops
+
+F32 = jnp.float32
+
+
+def compute_disparities(img_l: jnp.ndarray, img_r: jnp.ndarray,
+                        cfg: PipelineConfig):
+    """Stereo matching half of the pipeline: images -> refined (disp_l,
+    disp_r) float32 plus the outlier labels (debug/metrics surface)."""
+    cost_l, cost_r = ops.ci_adcensus(
+        img_l, img_r, cfg.ad_coeff, cfg.census_coeff,
+        cfg.num_disp, cfg.zero_disp)
+
+    arms_l = ops.cross_arms(img_l, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd)
+    arms_r = ops.cross_arms(img_r, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd)
+    acost_l = ops.cross_aggregate(cost_l, arms_l)
+    acost_r = ops.cross_aggregate(cost_r, arms_r)
+
+    if cfg.use_hslo:
+        gray_l = ops.mux_average(img_l)
+        gray_r = ops.mux_average(img_r)
+        acost_l = ops.dc_hslo(acost_l, gray_l, gray_r, cfg.num_disp,
+                              cfg.zero_disp, cfg.hslo_T, cfg.hslo_H1,
+                              cfg.hslo_H2, sign=+1)
+        acost_r = ops.dc_hslo(acost_r, gray_l, gray_r, cfg.num_disp,
+                              cfg.zero_disp, cfg.hslo_T, cfg.hslo_H1,
+                              cfg.hslo_H2, sign=-1)
+
+    disp_l = ops.dc_wta(acost_l, cfg.zero_disp)
+    disp_r = ops.dc_wta(acost_r, cfg.zero_disp)
+
+    out_l, out_r = ops.dr_dcc(disp_l, disp_r, cfg.dcc_thresh)
+    disp_l, out_l = ops.dr_irv(disp_l, out_l, arms_l, cfg.irv_thresh_s,
+                               cfg.irv_thresh_h, cfg.num_disp, cfg.zero_disp,
+                               cfg.usd, cfg.irv_iterations)
+    disp_r, out_r = ops.dr_irv(disp_r, out_r, arms_r, cfg.irv_thresh_s,
+                               cfg.irv_thresh_h, cfg.num_disp, cfg.zero_disp,
+                               cfg.usd, cfg.irv_iterations)
+
+    disp_l = ops.filter_bilateral(disp_l, cfg.bilateral_radius,
+                                  cfg.bilateral_sigma_color,
+                                  cfg.bilateral_sigma_spatial, cfg.num_disp)
+    disp_r = ops.filter_bilateral(disp_r, cfg.bilateral_radius,
+                                  cfg.bilateral_sigma_color,
+                                  cfg.bilateral_sigma_spatial, cfg.num_disp)
+    return disp_l, disp_r, out_l, out_r
+
+
+def synthesize_views(img_l, img_r, disp_l, disp_r, cfg: PipelineConfig):
+    """DIBR half: images + disparities -> (V, H, W, 3) view stack.
+
+    View 0 = right source, view V-1 = left source (d_io.cu:182-183);
+    intermediate view v uses shift = 1 - v/(V-1) (d_io.cu:189).  The
+    feathered blend mask is shift-independent and computed once (the
+    reference recomputes it per view); the V-2 intermediate warps run as one
+    vmapped batch -- the TPU analog of the reference's per-view kernel loop.
+    """
+    occl_l, occl_r = ops.dibr_occl(disp_l, disp_r)
+    occl_l = ops.filter_bleed(occl_l, cfg.bleed_radius)
+    occl_r = ops.filter_bleed(occl_r, cfg.bleed_radius)
+    mask_l = ops.dibr_occl_to_mask(occl_l)
+    mask_r = ops.dibr_occl_to_mask(occl_r)
+
+    feathered = ops.dibr.dibr_feather_mask(
+        mask_r, cfg.feather_radius, cfg.feather_sigma)
+
+    v = cfg.num_views
+    shifts = jnp.asarray(
+        [1.0 - v_i / (v - 1.0) for v_i in range(1, v - 1)], F32)
+
+    def one_view(shift):
+        from stereo_to_multiview_tpu.ops.dibr import dibr_backward_warp
+        from stereo_to_multiview_tpu.ops.mux import mux_merge_ab
+        view_from_l = dibr_backward_warp(img_l, mask_r, disp_r, -shift)
+        view_from_r = dibr_backward_warp(img_r, mask_l, disp_l, 1.0 - shift)
+        return mux_merge_ab(view_from_l, view_from_r, feathered)
+
+    if v > 2:
+        mids = jax.vmap(one_view)(shifts)          # (V-2, H, W, 3)
+        views = jnp.concatenate([img_r[None], mids, img_l[None]])
+    else:
+        views = jnp.stack([img_r, img_l])
+    return views
+
+
+def make_process_frame(cfg: PipelineConfig, lowres: bool = False):
+    """Build the jitted SBS -> (disp_l, disp_r, interlaced) function."""
+
+    def fn(sbs: jnp.ndarray):
+        img_l, img_r = ops.demux_sbs(sbs)
+
+        if lowres:
+            lo_l = ops.tx_scale_bilinear(img_l, cfg.num_rows_disp,
+                                         cfg.num_cols_disp)
+            lo_r = ops.tx_scale_bilinear(img_r, cfg.num_rows_disp,
+                                         cfg.num_cols_disp)
+            dl, dr, _, _ = compute_disparities(lo_l, lo_r, cfg)
+            disp_l = ops.tx_disp_scale(dl, cfg.num_rows, cfg.num_cols,
+                                       1.0 / cfg.disp_scale)
+            disp_r = ops.tx_disp_scale(dr, cfg.num_rows, cfg.num_cols,
+                                       1.0 / cfg.disp_scale)
+        else:
+            disp_l, disp_r, _, _ = compute_disparities(img_l, img_r, cfg)
+
+        views = synthesize_views(img_l, img_r, disp_l, disp_r, cfg)
+        interlaced = ops.mux_multiview(views, cfg.num_rows_out,
+                                       cfg.num_cols_out, cfg.angle)
+        return disp_l, disp_r, interlaced
+
+    return jax.jit(fn)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def process_frame(sbs: jnp.ndarray, cfg: PipelineConfig) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """adcensus_stm analog: (H, 2W, 3) uint8 SBS -> (disp_l, disp_r,
+    interlaced).  cfg is static; one compiled graph per config."""
+    img_l, img_r = ops.demux_sbs(sbs)
+    disp_l, disp_r, _, _ = compute_disparities(img_l, img_r, cfg)
+    views = synthesize_views(img_l, img_r, disp_l, disp_r, cfg)
+    interlaced = ops.mux_multiview(views, cfg.num_rows_out, cfg.num_cols_out,
+                                   cfg.angle)
+    return disp_l, disp_r, interlaced
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def process_frame_lowres(sbs: jnp.ndarray, cfg: PipelineConfig):
+    """adcensus_stm_2 analog (d_io.cu:240-508): disparity at
+    (num_rows_disp, num_cols_disp), upscaled by 1/disp_scale, full-res DIBR."""
+    if not cfg.lowres:
+        raise ValueError("cfg must set num_rows_disp/num_cols_disp")
+    img_l, img_r = ops.demux_sbs(sbs)
+    lo_l = ops.tx_scale_bilinear(img_l, cfg.num_rows_disp, cfg.num_cols_disp)
+    lo_r = ops.tx_scale_bilinear(img_r, cfg.num_rows_disp, cfg.num_cols_disp)
+    dl, dr, _, _ = compute_disparities(lo_l, lo_r, cfg)
+    disp_l = ops.tx_disp_scale(dl, cfg.num_rows, cfg.num_cols,
+                               1.0 / cfg.disp_scale)
+    disp_r = ops.tx_disp_scale(dr, cfg.num_rows, cfg.num_cols,
+                               1.0 / cfg.disp_scale)
+    views = synthesize_views(img_l, img_r, disp_l, disp_r, cfg)
+    interlaced = ops.mux_multiview(views, cfg.num_rows_out, cfg.num_cols_out,
+                                   cfg.angle)
+    return disp_l, disp_r, interlaced

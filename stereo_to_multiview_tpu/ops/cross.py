@@ -1,0 +1,116 @@
+"""Cross-based adaptive support: arm construction + 4-pass aggregation.
+
+TPU-native redesign (SURVEY.md section 7):
+  * The reference's sequential break-on-threshold arm walk
+    (d_ca_cross.cu:41-69) is a first-failure scan over a monotone predicate;
+    we evaluate all `usd` offsets at once and reduce with a prefix-AND --
+    identical arm lengths, fully vectorized.
+  * The reference's O(arm) per-pixel sliding sums with transposes
+    (d_ca_cross_sum.cu) become an inclusive prefix sum + two endpoint
+    gathers -- O(1) per pixel, no transposes (XLA owns layout), and no
+    1024-column block limit.
+
+Arm order: UP, DOWN, LEFT, RIGHT (d_ca_cross.cu:9-15).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+F32 = jnp.float32
+
+UP, DOWN, LEFT, RIGHT = 0, 1, 2, 3
+
+
+def _arm_length(img_i32: jnp.ndarray, dy: int, dx: int,
+                ucd: float, lcd: float, usd: int, lsd: int) -> jnp.ndarray:
+    """Arm length (H, W) int32 in direction (dy, dx).
+
+    Reference quirk preserved (d_ca_cross.cu:41-69): the arm value is
+    written *before* the color test, so a color failure at distance k
+    yields arm k, while running off the image at distance k yields k-1.
+    Therefore  arm = sum_k [ in_bounds(k) and no color failure at j < k ].
+    (in_bounds is monotone, so the prefix-AND only needs the color tests.)
+    """
+    h, w = img_i32.shape[:2]
+    ys = jnp.arange(h)
+    xs = jnp.arange(w)
+    anchor = img_i32
+
+    oks = []        # no color failure at offset k (computed on clamped reads)
+    inb = []        # offset k is in bounds
+    prev = anchor
+    for k in range(1, usd + 1):
+        cy = jnp.clip(ys + dy * k, 0, h - 1)
+        cx = jnp.clip(xs + dx * k, 0, w - 1)
+        cur = img_i32[cy][:, cx]
+        ac = jnp.max(jnp.abs(cur - anchor), axis=-1).astype(F32)
+        cp = jnp.max(jnp.abs(cur - prev), axis=-1).astype(F32)
+        if k <= lsd:
+            fail = (ac > F32(lcd)) | (cp > F32(lcd))
+        else:
+            fail = ac > F32(ucd)
+        oks.append(~fail)
+        if dy:
+            in_b = (ys + dy * k >= 0) & (ys + dy * k <= h - 1)
+            inb.append(jnp.broadcast_to(in_b[:, None], (h, w)))
+        else:
+            in_b = (xs + dx * k >= 0) & (xs + dx * k <= w - 1)
+            inb.append(jnp.broadcast_to(in_b[None, :], (h, w)))
+        prev = cur
+
+    ok = jnp.stack(oks)                       # (usd, H, W)
+    in_bounds = jnp.stack(inb)
+    # no color failure strictly before offset k  ==  prefix-AND shifted by 1
+    no_fail_before = jnp.cumprod(
+        jnp.concatenate([jnp.ones((1, h, w), bool), ok[:-1]]), axis=0,
+        dtype=jnp.int32).astype(bool)
+    return (in_bounds & no_fail_before).astype(jnp.int32).sum(axis=0)
+
+
+def cross_arms(img: jnp.ndarray, ucd: float, lcd: float,
+               usd: int, lsd: int) -> jnp.ndarray:
+    """(4, H, W) int32 arm lengths for a (H, W, 3) uint8 image."""
+    c = img.astype(jnp.int32)
+    return jnp.stack([
+        _arm_length(c, -1, 0, ucd, lcd, usd, lsd),
+        _arm_length(c, +1, 0, ucd, lcd, usd, lsd),
+        _arm_length(c, 0, -1, ucd, lcd, usd, lsd),
+        _arm_length(c, 0, +1, ucd, lcd, usd, lsd),
+    ])
+
+
+def _span_sum(vol: jnp.ndarray, arm_neg: jnp.ndarray, arm_pos: jnp.ndarray,
+              axis: int) -> jnp.ndarray:
+    """Per-pixel half-open span sum along `axis` of a (D, H, W) volume:
+    out[i] = sum vol[i - arm_neg[i] : i + arm_pos[i]].
+
+    Matches the reference's [x - arm_l, x + arm_r) loops
+    (d_ca_cross_sum.cu:286-291): an arm_pos of 0 *excludes* the anchor.
+    Implementation: exclusive prefix sum + two gathers (O(1)/pixel).
+    """
+    n = vol.shape[axis]
+    cs = jnp.cumsum(vol, axis=axis, dtype=F32)
+    pad = [(0, 0)] * vol.ndim
+    pad[axis] = (1, 0)
+    cs = jnp.pad(cs, pad)                     # cs[k] = sum(vol[:k])
+    shape = [1, 1, 1]
+    shape[axis] = n
+    i = jnp.arange(n).reshape(shape)
+    hi = jnp.clip(i + arm_pos[None], 0, n)
+    lo = jnp.clip(i - arm_neg[None], 0, n)
+    hi = jnp.broadcast_to(hi, vol.shape)
+    lo = jnp.broadcast_to(lo, vol.shape)
+    return (jnp.take_along_axis(cs, hi, axis=axis)
+            - jnp.take_along_axis(cs, lo, axis=axis))
+
+
+def cross_aggregate(cost: jnp.ndarray, arms: jnp.ndarray) -> jnp.ndarray:
+    """Four-pass aggregation in the reference's live order H,V,V,H
+    (d_ca_cross.cu:255-271; note NOT the paper's H,V,H,V -- SURVEY.md 3.4).
+    Each pass consumes the previous pass's output."""
+    a = _span_sum(cost, arms[LEFT], arms[RIGHT], axis=2)
+    a = _span_sum(a, arms[UP], arms[DOWN], axis=1)
+    a = _span_sum(a, arms[UP], arms[DOWN], axis=1)
+    a = _span_sum(a, arms[LEFT], arms[RIGHT], axis=2)
+    return a

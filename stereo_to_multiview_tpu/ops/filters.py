@@ -1,0 +1,118 @@
+"""Post filters: lifting Gaussian, bilateral (LUT range weights), bleed
+dilation, 3x3 median.  Reference: d_filter_gaussian.cu, d_filter_bilateral.cu,
+d_filter.cu.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+F32 = jnp.float32
+
+
+def gaussian_kernel_2d(radius: int, sigma: float) -> np.ndarray:
+    """generateGaussianKernel (d_filter_gaussian.cu:244-255); host-side
+    constant, baked into the graph."""
+    y, x = np.mgrid[-radius:radius + 1, -radius:radius + 1].astype(np.float32)
+    var = np.float32(sigma) ** 2
+    return (np.exp(-(x * x + y * y) / (2 * var)) / (2 * np.pi * var)
+            ).astype(np.float32)
+
+
+def gaussian_lut_1d(size: int, sigma: float) -> np.ndarray:
+    """generateGaussian1D (d_filter_bilateral.cu:35-39)."""
+    i = np.arange(size, dtype=np.float32)
+    var = np.float32(sigma) ** 2
+    return (np.exp(-(i * i) / (2 * var)) / np.sqrt(2 * np.pi * var)
+            ).astype(np.float32)
+
+
+def _edge_pad(img: jnp.ndarray, radius: int) -> jnp.ndarray:
+    return jnp.pad(img, ((radius, radius), (radius, radius)), mode="edge")
+
+
+def filter_gaussian_lift(img: jnp.ndarray, radius: int, sigma: float):
+    """out = max(input, gaussian_blur(input)), clamp-to-edge, normalized by
+    the full kernel sum.  Used to feather DIBR blend masks upward only
+    (d_filter_gaussian.cu:84-87).
+
+    The 2D kernel exp(-(x^2+y^2)/2s^2) factors exactly, so the blur runs as
+    two 1D passes (2*(2r+1) taps instead of (2r+1)^2)."""
+    k1 = np.exp(-(np.arange(-radius, radius + 1, dtype=np.float64) ** 2)
+                / (2.0 * float(sigma) ** 2))
+    k2d_sum = float(gaussian_kernel_2d(radius, sigma).astype(np.float64).sum())
+    scale = 1.0 / (2.0 * np.pi * float(sigma) ** 2)
+
+    p = _edge_pad(img.astype(F32), radius)
+    h, w = img.shape
+    acc_r = jnp.zeros((h + 2 * radius, w), F32)
+    for j, kv in enumerate(k1):
+        acc_r = acc_r + F32(kv) * p[:, j:j + w]
+    acc = jnp.zeros((h, w), F32)
+    for i, kv in enumerate(k1):
+        acc = acc + F32(kv) * acc_r[i:i + h]
+    blurred = acc * F32(scale / k2d_sum)
+    return jnp.maximum(img.astype(F32), blurred)
+
+
+def filter_bilateral(img: jnp.ndarray, radius: int, sigma_color: float,
+                     sigma_spatial: float, num_disp: int) -> jnp.ndarray:
+    """Edge-preserving smoothing of the float disparity map.
+
+    Spatial weight from a precomputed 2D Gaussian; range weight from a 1D
+    LUT of length num_disp indexed by trunc(|center - sample|)
+    (d_filter_bilateral.cu:222-304, LUT built at :542-544).  Clamp-to-edge.
+    """
+    sk = gaussian_kernel_2d(radius, sigma_spatial)
+    lut = jnp.asarray(gaussian_lut_1d(num_disp, sigma_color))
+    h, w = img.shape
+    a = img.astype(F32)
+    p = _edge_pad(a, radius)
+    num = jnp.zeros((h, w), F32)
+    den = jnp.zeros((h, w), F32)
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            s = p[dy + radius:dy + radius + h, dx + radius:dx + radius + w]
+            idx = jnp.abs(a - s).astype(jnp.int32)
+            wgt = F32(sk[dy + radius, dx + radius]) * lut[idx]
+            num = num + wgt * s
+            den = den + wgt
+    return num / den
+
+
+def _bleed_index(n: int, off: int) -> np.ndarray:
+    """filter_bleed's edge rule (d_filter.cu:124-127): negative coords are
+    mirrored; coords past the end map to n-1-off (the *offset* is
+    subtracted, a reference quirk we reproduce)."""
+    i = np.arange(n)
+    s = i + off
+    s = np.where(s < 0, -s, s)
+    s = np.where(i + off > n - 1, n - 1 - off, s)
+    return s
+
+
+def filter_bleed(img: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Binary-mask dilation: output 1 where more than 30% of the (2r+1)^2
+    neighborhood is non-zero, else passthrough (d_filter.cu:105-139)."""
+    h, w = img.shape
+    ksz = (2 * radius + 1) ** 2
+    cnt = jnp.zeros((h, w), jnp.int32)
+    for dy in range(-radius, radius + 1):
+        sy = jnp.asarray(_bleed_index(h, dy))
+        for dx in range(-radius, radius + 1):
+            sx = jnp.asarray(_bleed_index(w, dx))
+            cnt = cnt + (img[sy][:, sx] > 0).astype(jnp.int32)
+    return jnp.where(cnt.astype(F32) > F32((ksz - 1) * 0.30),
+                     jnp.uint8(1), img.astype(jnp.uint8))
+
+
+def filter_median(img: jnp.ndarray) -> jnp.ndarray:
+    """3x3 median with clamp-to-edge.  (The reference kernel reads out of
+    bounds at borders -- d_filter.cu:22-27 -- which is UB; interior matches
+    exactly, borders are defined here.)"""
+    p = _edge_pad(img, 1)
+    h, w = img.shape
+    stack = jnp.stack([p[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+                       for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+    return jnp.median(stack, axis=0).astype(img.dtype)

@@ -1,0 +1,102 @@
+"""Channel muxing and the lenticular multiview interlace.
+
+Reference: d_mux_common.cu (average, merge) and d_mux_multiview.cu
+(mux_multiview_kernel_2, the live interlace kernel).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+F32 = jnp.float32
+
+
+def mux_average(img: jnp.ndarray) -> jnp.ndarray:
+    """BGR -> grayscale with uniform 1/3 weights and truncating uint8 store.
+    d_mux_common.cu:7-21."""
+    c = F32(0.3333333333333)
+    acc = img[:, :, 0].astype(F32) * c
+    acc = acc + img[:, :, 1].astype(F32) * c
+    acc = acc + img[:, :, 2].astype(F32) * c
+    return acc.astype(jnp.uint8)  # f32 -> u8 truncates toward zero
+
+
+def mux_merge_ab(img_b: jnp.ndarray, img_a: jnp.ndarray,
+                 mask_a: jnp.ndarray) -> jnp.ndarray:
+    """Masked blend with the reference's observable double-truncation:
+    out = (u8)((1-m)*B) + (u8)(m*A) per channel (d_mux_common.cu:43-45)."""
+    m = mask_a.astype(F32)[:, :, None]
+    term_a = (m * img_a.astype(F32)).astype(jnp.uint8)
+    term_b = ((F32(1.0) - m) * img_b.astype(F32)).astype(jnp.uint8)
+    return term_b + term_a
+
+
+def _bilinear_u8(img: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray):
+    """alu-style bilinear gather on channel-last uint8 (d_alu.cu:45-71):
+    floor corners, +1 neighbors clamped to the far edge, float result."""
+    h, w = img.shape[:2]
+    x0 = jnp.floor(sx).astype(jnp.int32)
+    y0 = jnp.floor(sy).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    wx = (sx - x0.astype(F32))
+    wy = (sy - y0.astype(F32))
+    if img.ndim == 3:
+        wx = wx[..., None]
+        wy = wy[..., None]
+    v00 = img[y0, x0].astype(F32)
+    v01 = img[y0, x1].astype(F32)
+    v10 = img[y1, x0].astype(F32)
+    v11 = img[y1, x1].astype(F32)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def mux_multiview(views: jnp.ndarray, num_rows_out: int, num_cols_out: int,
+                  angle: float) -> jnp.ndarray:
+    """Slanted-lenticular interlace of (V, H, W, 3) views into
+    (H_out, W_out, 3).  View 0 = right source, view V-1 = left source
+    (d_io.cu:182-183).
+
+    Geometry (d_mux_multiview.cu:38-84, :146): y_interval = V/tan(angle)/3;
+    each output color subpixel selects a view by
+    (3*tx + trunc((ty % round(y_i) + 1) * V / y_i)) mod V, offset +1 for G
+    and +2 for B, and samples it bilinearly at input-resolution coords.
+    """
+    import numpy as np
+    v_cnt, h_in, w_in = views.shape[:3]
+    # geometry is static config math -- keep it in host NumPy f32 scalars
+    y_interval = np.float32(v_cnt / math.tan(angle * math.pi / 180.0) / 3.0)
+    inv_y = np.float32(1.0) / y_interval
+    y_mod = max(int(math.floor(float(y_interval) + 0.5)), 1)  # C round()
+
+    ty = jnp.arange(num_rows_out)
+    tx = jnp.arange(num_cols_out)
+    y_view = ((ty % y_mod).astype(F32) + F32(1.0)) * F32(v_cnt) * inv_y
+    x_view = (tx[None, :] * 3 + y_view.astype(jnp.int32)[:, None]) % v_cnt
+    r_view = x_view
+    g_view = (r_view + 1) % v_cnt
+    b_view = (r_view + 2) % v_cnt
+
+    sx = jnp.clip(tx.astype(F32) / F32(num_cols_out) * F32(w_in),
+                  0, F32(w_in - 1))
+    sy = jnp.clip(ty.astype(F32) / F32(num_rows_out) * F32(h_in),
+                  0, F32(h_in - 1))
+    sxg = jnp.broadcast_to(sx[None, :], (num_rows_out, num_cols_out))
+    syg = jnp.broadcast_to(sy[:, None], (num_rows_out, num_cols_out))
+
+    # Sample every view at the shared coordinates (one vectorized gather per
+    # view; V is small), truncate to u8 like fast_bilinear_interp, then pick
+    # per-subpixel views.
+    sampled = jnp.stack([
+        _bilinear_u8(views[v], sxg, syg).astype(jnp.uint8)
+        for v in range(v_cnt)
+    ])  # (V, H_out, W_out, 3)
+
+    out_b = jnp.take_along_axis(sampled[..., 0], b_view[None], axis=0)[0]
+    out_g = jnp.take_along_axis(sampled[..., 1], g_view[None], axis=0)[0]
+    out_r = jnp.take_along_axis(sampled[..., 2], r_view[None], axis=0)[0]
+    return jnp.stack([out_b, out_g, out_r], axis=-1)

@@ -1,0 +1,9 @@
+from stereo_to_multiview_tpu.parallel.mesh import (
+    make_mesh, row_sharding, replicated)
+from stereo_to_multiview_tpu.parallel.sharded import (
+    sharded_process_frame, sharded_compute_disparities)
+
+__all__ = [
+    "make_mesh", "row_sharding", "replicated",
+    "sharded_process_frame", "sharded_compute_disparities",
+]
