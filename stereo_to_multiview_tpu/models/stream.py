@@ -1,0 +1,124 @@
+"""Streaming driver -- the reference's video_io loop (video_io.cpp:42-224)
+rebuilt for TPU: background-thread frame decode (host) overlapped with
+device compute, steady-state fps metering, output sinks to files instead of
+a HighGUI window.  Loops the source at EOF like the reference
+(video_io.cpp:149-153).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import queue
+import threading
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from stereo_to_multiview_tpu.config import PipelineConfig
+from stereo_to_multiview_tpu.utils.bmp import read_bmp
+from stereo_to_multiview_tpu.utils.timing import FrameMeter
+
+
+class FrameSource:
+    """SBS frame source from files.
+
+    Accepted layouts:
+      * directory of SBS frames:     frame_000.bmp, frame_001.bmp, ...
+      * directory of L/R pairs:      <stem>_1.bmp/<stem>_2.bmp style pairs
+        stitched into SBS (pair mode: consecutive sorted files are L, R).
+    """
+
+    def __init__(self, path: str, pair_mode: bool = False,
+                 loop: bool = True, max_frames: Optional[int] = None):
+        if os.path.isdir(path):
+            files = sorted(glob.glob(os.path.join(path, "*.bmp")))
+        else:
+            files = sorted(glob.glob(path))
+        if not files:
+            raise FileNotFoundError(f"no BMP frames at {path}")
+        self.files = files
+        self.pair_mode = pair_mode
+        self.loop = loop
+        self.max_frames = max_frames
+
+    def _frame_list(self) -> List:
+        if self.pair_mode:
+            return list(zip(self.files[:-1], self.files[1:]))
+        return self.files
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        n = 0
+        items = self._frame_list()
+        while True:
+            for it in items:
+                if self.max_frames is not None and n >= self.max_frames:
+                    return
+                if self.pair_mode:
+                    l = read_bmp(it[0])
+                    r = read_bmp(it[1])
+                    if l.shape != r.shape:
+                        continue  # skip mismatched pairs (bud_1 vs bud_2)
+                    yield np.concatenate([l, r], axis=1)
+                else:
+                    yield read_bmp(it)
+                n += 1
+            if not self.loop:
+                return
+
+
+class PrefetchingSource:
+    """Decode frames on a host thread so IO overlaps device compute --
+    the TPU analog of overlapping OpenCV decode with GPU kernels."""
+
+    def __init__(self, source, depth: int = 4):
+        self.source = source
+        self.q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._done = object()
+        self.thread = threading.Thread(target=self._worker, daemon=True)
+        self.thread.start()
+
+    def _worker(self):
+        try:
+            for frame in self.source:
+                self.q.put(frame)
+        finally:
+            self.q.put(self._done)
+
+    def __iter__(self):
+        while True:
+            item = self.q.get()
+            if item is self._done:
+                return
+            yield item
+
+
+def stream(source, cfg: PipelineConfig, lowres: bool = False,
+           on_frame=None, prefetch: int = 4, verbose: bool = True):
+    """Run the fused pipeline over a frame stream.  Returns FrameMeter stats.
+
+    on_frame(i, disp_l, disp_r, interlaced) is called with device arrays --
+    fetch with np.asarray only if you need host data (it synchronizes).
+    """
+    import jax
+    from stereo_to_multiview_tpu.models.pipeline import (
+        process_frame, process_frame_lowres)
+
+    fn = process_frame_lowres if lowres else process_frame
+    meter = FrameMeter(warmup=2)
+    src = PrefetchingSource(source, prefetch) if prefetch else source
+
+    meter.tick()
+    for i, sbs in enumerate(src):
+        out = fn(jax.device_put(sbs), cfg)
+        if on_frame is not None:
+            on_frame(i, *out)
+        else:
+            # force completion for honest per-frame timing
+            np.asarray(out[2])
+        meter.tick()
+        if verbose:
+            ts = meter.times
+            if ts:
+                print(f"[[ frame {i} took: {ts[-1]*1e3:.1f} ms ]]")
+    return meter.stats()
