@@ -67,6 +67,38 @@ class FrameSource:
                 return
 
 
+def native_source(path: str, pair_mode: bool = False, loops: int = 1,
+                  depth: int = 4, threads: int = 2):
+    """Frame iterator backed by the native C++ decode queue
+    (native/stm_native.cpp): multi-threaded BMP decode + SBS stitch ahead
+    of the consumer.  Falls back to FrameSource when the toolchain is
+    unavailable."""
+    import glob as _glob
+    from stereo_to_multiview_tpu import native as _native
+
+    if os.path.isdir(path):
+        files = sorted(_glob.glob(os.path.join(path, "*.bmp")))
+    else:
+        files = sorted(_glob.glob(path))
+    if not files:
+        raise FileNotFoundError(f"no BMP frames at {path}")
+    if not _native.available():
+        return FrameSource(path, pair_mode=pair_mode, loop=loops > 1,
+                           max_frames=None)
+    first = _native.read_bmp(files[0])
+    h, w = first.shape[:2]
+    w_sbs = 2 * w if pair_mode else w
+    if pair_mode:
+        # flatten consecutive pairs L,R,L,R like the C side expects
+        pairs = []
+        for a, b in zip(files[:-1], files[1:]):
+            pairs += [a, b]
+        files = pairs
+    q = _native.NativeFrameQueue(files, pair_mode=pair_mode, depth=depth,
+                                 loops=loops, threads=threads)
+    return q.prime(h, w_sbs)
+
+
 class PrefetchingSource:
     """Decode frames on a host thread so IO overlaps device compute --
     the TPU analog of overlapping OpenCV decode with GPU kernels."""
