@@ -40,12 +40,18 @@ def main():
     dev = jax.devices()[0]
     sbs_dev = jax.device_put(sbs, dev)
 
-    # compile + warmup
-    out = jax.block_until_ready(process_frame(sbs_dev, cfg))
+    # compile + warmup.  block_until_ready is unreliable through the axon
+    # relay, so force completion with a host fetch of one element per output.
+    def sync(out):
+        jax.tree.map(lambda x: np.asarray(x.ravel()[0]), out)
+
+    out = process_frame(sbs_dev, cfg)
+    sync(out)
     n_iters = 10
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        out = jax.block_until_ready(process_frame(sbs_dev, cfg))
+        out = process_frame(sbs_dev, cfg)
+        sync(out)
     dt = time.perf_counter() - t0
     fps = n_iters / dt
 

@@ -42,8 +42,8 @@ def compute_disparities(img_l: jnp.ndarray, img_r: jnp.ndarray,
 
     arms_l = ops.cross_arms(img_l, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd)
     arms_r = ops.cross_arms(img_r, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd)
-    acost_l = ops.cross_aggregate(cost_l, arms_l)
-    acost_r = ops.cross_aggregate(cost_r, arms_r)
+    acost_l = ops.cross_aggregate(cost_l, arms_l, max_arm=cfg.usd)
+    acost_r = ops.cross_aggregate(cost_r, arms_r, max_arm=cfg.usd)
 
     if cfg.use_hslo:
         gray_l = ops.mux_average(img_l)
@@ -58,7 +58,8 @@ def compute_disparities(img_l: jnp.ndarray, img_r: jnp.ndarray,
     disp_l = ops.dc_wta(acost_l, cfg.zero_disp)
     disp_r = ops.dc_wta(acost_r, cfg.zero_disp)
 
-    out_l, out_r = ops.dr_dcc(disp_l, disp_r, cfg.dcc_thresh)
+    out_l, out_r = ops.dr_dcc(disp_l, disp_r, cfg.dcc_thresh,
+                              num_disp=cfg.num_disp, zero_disp=cfg.zero_disp)
     disp_l, out_l = ops.dr_irv(disp_l, out_l, arms_l, cfg.irv_thresh_s,
                                cfg.irv_thresh_h, cfg.num_disp, cfg.zero_disp,
                                cfg.usd, cfg.irv_iterations)
@@ -81,10 +82,15 @@ def synthesize_views(img_l, img_r, disp_l, disp_r, cfg: PipelineConfig):
     View 0 = right source, view V-1 = left source (d_io.cu:182-183);
     intermediate view v uses shift = 1 - v/(V-1) (d_io.cu:189).  The
     feathered blend mask is shift-independent and computed once (the
-    reference recomputes it per view); the V-2 intermediate warps run as one
-    vmapped batch -- the TPU analog of the reference's per-view kernel loop.
+    reference recomputes it per view); the V-2 intermediate warps unroll as
+    a static Python loop so each view's select-shift warp gets the tightest
+    offset bound for its shift (V is small and static).
     """
-    occl_l, occl_r = ops.dibr_occl(disp_l, disp_r)
+    from stereo_to_multiview_tpu.ops.dibr import dibr_backward_warp
+    from stereo_to_multiview_tpu.ops.mux import mux_merge_ab
+
+    occl_l, occl_r = ops.dibr_occl(disp_l, disp_r, num_disp=cfg.num_disp,
+                                   zero_disp=cfg.zero_disp)
     occl_l = ops.filter_bleed(occl_l, cfg.bleed_radius)
     occl_r = ops.filter_bleed(occl_r, cfg.bleed_radius)
     mask_l = ops.dibr_occl_to_mask(occl_l)
@@ -94,19 +100,17 @@ def synthesize_views(img_l, img_r, disp_l, disp_r, cfg: PipelineConfig):
         mask_r, cfg.feather_radius, cfg.feather_sigma)
 
     v = cfg.num_views
-    shifts = jnp.asarray(
-        [1.0 - v_i / (v - 1.0) for v_i in range(1, v - 1)], F32)
-
-    def one_view(shift):
-        from stereo_to_multiview_tpu.ops.dibr import dibr_backward_warp
-        from stereo_to_multiview_tpu.ops.mux import mux_merge_ab
-        view_from_l = dibr_backward_warp(img_l, mask_r, disp_r, -shift)
-        view_from_r = dibr_backward_warp(img_r, mask_l, disp_l, 1.0 - shift)
-        return mux_merge_ab(view_from_l, view_from_r, feathered)
+    mids = []
+    for v_i in range(1, v - 1):
+        shift = 1.0 - v_i / (v - 1.0)
+        view_from_l = dibr_backward_warp(img_l, mask_r, disp_r, -shift,
+                                         cfg.num_disp, cfg.zero_disp)
+        view_from_r = dibr_backward_warp(img_r, mask_l, disp_l, 1.0 - shift,
+                                         cfg.num_disp, cfg.zero_disp)
+        mids.append(mux_merge_ab(view_from_l, view_from_r, feathered))
 
     if v > 2:
-        mids = jax.vmap(one_view)(shifts)          # (V-2, H, W, 3)
-        views = jnp.concatenate([img_r[None], mids, img_l[None]])
+        views = jnp.stack([img_r] + mids + [img_l])
     else:
         views = jnp.stack([img_r, img_l])
     return views

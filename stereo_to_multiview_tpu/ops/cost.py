@@ -14,6 +14,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from stereo_to_multiview_tpu.ops import shiftops
+
 F32 = jnp.float32
 
 
@@ -28,19 +30,15 @@ def census_transform_9x7(gray: jnp.ndarray) -> jnp.ndarray:
     """
     h, w = gray.shape
     g = gray.astype(jnp.int32)
-    ys = jnp.arange(h)
-    xs = jnp.arange(w)
+    gp = shiftops.edge_pad(shiftops.edge_pad(g, 0, 3, 3), 1, 4, 4)
 
     words = []
     for rows in ((-3, -2, -1), (1, 2, 3)):
         word = jnp.zeros((h, w), jnp.uint32)
         for dy in rows:
-            cy = jnp.clip(ys + dy, 0, h - 1)
-            row = g[cy]
             for dx in (-4, -3, -2, -1, 1, 2, 3, 4):
-                cx = jnp.clip(xs + dx, 0, w - 1)
-                bit = (row[:, cx] < g).astype(jnp.uint32)
-                word = (word << 1) + bit
+                nb = gp[3 + dy:3 + dy + h, 4 + dx:4 + dx + w]
+                word = (word << 1) + (nb < g).astype(jnp.uint32)
         words.append(word)
     return jnp.stack(words, axis=-1)
 
@@ -59,14 +57,14 @@ def _shifted(img: jnp.ndarray, num_disp: int, zero_disp: int, sign: int):
     sign*(d - zero_disp), d in [0, D).  Returns (D, H, W, ...).
 
     The reference's shared-memory tiles load with globally clamped
-    coordinates (d_ci_ad.cu:102), so the effective read is a clamp-to-edge
-    gather; a single XLA gather reproduces it for all D planes at once.
+    coordinates (d_ci_ad.cu:102), so the effective read is clamp-to-edge;
+    each disparity plane is a *static* shift, so the whole stack is D
+    edge-padded slices -- no gather HLO (pathological on TPU).
     """
-    w = img.shape[1]
-    d = jnp.arange(num_disp)[:, None]
-    idx = jnp.clip(jnp.arange(w)[None, :] + sign * (d - zero_disp), 0, w - 1)
-    return jnp.take(img, idx, axis=1).transpose(
-        (1, 0) + tuple(range(2, img.ndim + 1)))
+    return jnp.stack([
+        shiftops.shift(img, 1, sign * (d - zero_disp))
+        for d in range(num_disp)
+    ])
 
 
 def ci_ad(img_l: jnp.ndarray, img_r: jnp.ndarray,

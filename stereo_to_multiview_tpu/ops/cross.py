@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from stereo_to_multiview_tpu.ops import shiftops
+
 F32 = jnp.float32
 
 UP, DOWN, LEFT, RIGHT = 0, 1, 2, 3
@@ -36,14 +38,14 @@ def _arm_length(img_i32: jnp.ndarray, dy: int, dx: int,
     ys = jnp.arange(h)
     xs = jnp.arange(w)
     anchor = img_i32
+    axis = 0 if dy else 1
+    step = dy if dy else dx
 
     oks = []        # no color failure at offset k (computed on clamped reads)
     inb = []        # offset k is in bounds
     prev = anchor
     for k in range(1, usd + 1):
-        cy = jnp.clip(ys + dy * k, 0, h - 1)
-        cx = jnp.clip(xs + dx * k, 0, w - 1)
-        cur = img_i32[cy][:, cx]
+        cur = shiftops.shift(img_i32, axis, step * k)
         ac = jnp.max(jnp.abs(cur - anchor), axis=-1).astype(F32)
         cp = jnp.max(jnp.abs(cur - prev), axis=-1).astype(F32)
         if k <= lsd:
@@ -81,36 +83,38 @@ def cross_arms(img: jnp.ndarray, ucd: float, lcd: float,
 
 
 def _span_sum(vol: jnp.ndarray, arm_neg: jnp.ndarray, arm_pos: jnp.ndarray,
-              axis: int) -> jnp.ndarray:
+              axis: int, max_arm: int) -> jnp.ndarray:
     """Per-pixel half-open span sum along `axis` of a (D, H, W) volume:
     out[i] = sum vol[i - arm_neg[i] : i + arm_pos[i]].
 
     Matches the reference's [x - arm_l, x + arm_r) loops
     (d_ca_cross_sum.cu:286-291): an arm_pos of 0 *excludes* the anchor.
-    Implementation: exclusive prefix sum + two gathers (O(1)/pixel).
+    Implementation: exclusive prefix sum + two select-shift endpoint reads
+    (O(1)/pixel; arms are bounded by `max_arm` = usd, so each endpoint is a
+    short select chain over static slices -- no gather HLO, which is
+    pathologically slow on TPU).
     """
     n = vol.shape[axis]
+    m = n if max_arm is None else min(int(max_arm), n)
     cs = jnp.cumsum(vol, axis=axis, dtype=F32)
     pad = [(0, 0)] * vol.ndim
     pad[axis] = (1, 0)
-    cs = jnp.pad(cs, pad)                     # cs[k] = sum(vol[:k])
-    shape = [1, 1, 1]
-    shape[axis] = n
-    i = jnp.arange(n).reshape(shape)
-    hi = jnp.clip(i + arm_pos[None], 0, n)
-    lo = jnp.clip(i - arm_neg[None], 0, n)
-    hi = jnp.broadcast_to(hi, vol.shape)
-    lo = jnp.broadcast_to(lo, vol.shape)
-    return (jnp.take_along_axis(cs, hi, axis=axis)
-            - jnp.take_along_axis(cs, lo, axis=axis))
+    cs = jnp.pad(cs, pad)                     # cs[k] = sum(vol[:k]); len n+1
+    hi = shiftops.select_gather(cs, arm_pos[None], axis, 0, m, out_len=n)
+    lo = shiftops.select_gather(cs, -arm_neg[None], axis, -m, 0, out_len=n)
+    return hi - lo
 
 
-def cross_aggregate(cost: jnp.ndarray, arms: jnp.ndarray) -> jnp.ndarray:
+def cross_aggregate(cost: jnp.ndarray, arms: jnp.ndarray,
+                    max_arm: int | None = None) -> jnp.ndarray:
     """Four-pass aggregation in the reference's live order H,V,V,H
     (d_ca_cross.cu:255-271; note NOT the paper's H,V,H,V -- SURVEY.md 3.4).
-    Each pass consumes the previous pass's output."""
-    a = _span_sum(cost, arms[LEFT], arms[RIGHT], axis=2)
-    a = _span_sum(a, arms[UP], arms[DOWN], axis=1)
-    a = _span_sum(a, arms[UP], arms[DOWN], axis=1)
-    a = _span_sum(a, arms[LEFT], arms[RIGHT], axis=2)
+    Each pass consumes the previous pass's output.  `max_arm` is the static
+    arm-length bound (the config's usd); None falls back to the axis
+    length (correct but a longer select chain -- always pass usd on hot
+    paths)."""
+    a = _span_sum(cost, arms[LEFT], arms[RIGHT], axis=2, max_arm=max_arm)
+    a = _span_sum(a, arms[UP], arms[DOWN], axis=1, max_arm=max_arm)
+    a = _span_sum(a, arms[UP], arms[DOWN], axis=1, max_arm=max_arm)
+    a = _span_sum(a, arms[LEFT], arms[RIGHT], axis=2, max_arm=max_arm)
     return a

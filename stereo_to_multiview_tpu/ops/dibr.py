@@ -6,8 +6,10 @@ d_op.cu.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
+from stereo_to_multiview_tpu.ops import shiftops
 from stereo_to_multiview_tpu.ops.mux import mux_merge_ab
 from stereo_to_multiview_tpu.ops.filters import filter_gaussian_lift
 
@@ -19,20 +21,24 @@ def op_invertnormf(v: jnp.ndarray) -> jnp.ndarray:
     return F32(1.0) - v.astype(F32)
 
 
-def dibr_occl(disp_l: jnp.ndarray, disp_r: jnp.ndarray):
+def dibr_occl(disp_l: jnp.ndarray, disp_r: jnp.ndarray,
+              num_disp: int | None = None, zero_disp: int | None = None):
     """Visibility masks by forward scatter: occl_r[clamp(x+trunc(d_l))]=1,
     occl_l[clamp(x-trunc(d_r))]=1.  The reference's benign write race
-    (d_dibr_occl.cu:114-128, all writers store 1) becomes a scatter-max."""
+    (d_dibr_occl.cu:114-128, all writers store 1) becomes a race-free
+    bounded select-shift hit test (no scatter HLO -- see ops.shiftops).
+    num_disp/zero_disp give the static disparity bound; None falls back to
+    the image width."""
     h, w = disp_l.shape
-    xs = jnp.arange(w)[None, :]
-    rows = jnp.broadcast_to(jnp.arange(h)[:, None], (h, w))
-    ones = jnp.ones((h, w), jnp.uint8)
-    tgt_r = jnp.clip(xs + disp_l.astype(jnp.int32), 0, w - 1)
-    tgt_l = jnp.clip(xs - disp_r.astype(jnp.int32), 0, w - 1)
-    zeros = jnp.zeros((h, w), jnp.uint8)
-    occl_r = zeros.at[rows, tgt_r].max(ones)
-    occl_l = zeros.at[rows, tgt_l].max(ones)
-    return occl_l, occl_r
+    if num_disp is None or zero_disp is None:
+        dmin, dmax = -(w - 1), w - 1
+    else:
+        dmin, dmax = -zero_disp, num_disp - zero_disp
+    hit_r = shiftops.select_scatter_hit(disp_l.astype(jnp.int32), 1,
+                                        dmin, dmax)
+    hit_l = shiftops.select_scatter_hit(-disp_r.astype(jnp.int32), 1,
+                                        -dmax, -dmin)
+    return hit_l.astype(jnp.uint8), hit_r.astype(jnp.uint8)
 
 
 def dibr_occl_to_mask(occl: jnp.ndarray) -> jnp.ndarray:
@@ -42,20 +48,32 @@ def dibr_occl_to_mask(occl: jnp.ndarray) -> jnp.ndarray:
 
 
 def dibr_backward_warp(img_in: jnp.ndarray, mask: jnp.ndarray,
-                       disp: jnp.ndarray, shift: float) -> jnp.ndarray:
+                       disp: jnp.ndarray, shift: float,
+                       num_disp: int | None = None,
+                       zero_disp: int | None = None) -> jnp.ndarray:
     """Gather warp (d_dibr_bwarp.cu:5-22): sample img_in at
     clamp(x + disp*shift) with x-only bilinear interpolation (row index is
     integral), truncate to u8 (alu_bilinear_interp returns uchar), multiply
-    by mask, truncate again."""
+    by mask, truncate again.
+
+    The sample offset disp*shift is bounded by the disparity range times
+    |shift| <= 1, so the interpolating read is a bounded linear_gather
+    (select-shift chain; no gather HLO).
+    """
     h, w, _ = img_in.shape
-    xs = jnp.arange(w, dtype=F32)[None, :]
-    sx = jnp.clip(xs + disp.astype(F32) * F32(shift), F32(0.0), F32(w - 1))
-    x0 = jnp.floor(sx).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    wx = (sx - x0.astype(F32))[:, :, None]
-    v0 = jnp.take_along_axis(img_in, x0[:, :, None], axis=1).astype(F32)
-    v1 = jnp.take_along_axis(img_in, x1[:, :, None], axis=1).astype(F32)
-    interp = (v0 * (1 - wx) + v1 * wx).astype(jnp.uint8)
+    if num_disp is None or zero_disp is None:
+        dmin, dmax = -(w - 1), w - 1
+    else:
+        dmin, dmax = -zero_disp, num_disp - zero_disp
+    s = float(shift)
+    # offset = disp*s; disp in [dmin, dmax], s in [-1, 1]
+    cands = (dmin * s, dmax * s)
+    off_lo = int(np.floor(min(cands)))
+    off_hi = int(np.ceil(max(cands)))
+    xs = jnp.arange(w, dtype=F32)[None, :, None]
+    sx = xs + (disp.astype(F32) * F32(s))[:, :, None]
+    interp = shiftops.linear_gather(img_in.astype(F32), sx, 1,
+                                    off_lo, off_hi).astype(jnp.uint8)
     out = interp.astype(F32) * mask.astype(F32)[:, :, None]
     return out.astype(jnp.uint8)
 
@@ -86,24 +104,43 @@ def dibr_dbm(img_l, img_r, disp_l, disp_r, mask_l, mask_r, shift,
 
 
 def dibr_forward_warp(img_in: jnp.ndarray, disp: jnp.ndarray,
-                      shift: float) -> jnp.ndarray:
+                      shift: float, num_disp: int | None = None,
+                      zero_disp: int | None = None) -> jnp.ndarray:
     """Forward scatter warp out[clamp(x + trunc(disp*shift))] = in[x].
 
     The reference kernel (d_dibr_fwarp.cu:9-25) has a last-writer-wins race
     with no z-buffer; we define the deterministic rule 'largest source x
-    wins' via an argmax scatter of the source index.  Unhit targets are 0.
+    wins'.  Unhit targets are 0.  Race-free bounded select-shift: for each
+    candidate offset k (descending source x == ascending k at fixed target)
+    take the first matching writer.
     """
     h, w, c = img_in.shape
-    xs = jnp.arange(w)[None, :]
-    rows = jnp.broadcast_to(jnp.arange(h)[:, None], (h, w))
-    tgt = jnp.clip(xs + (disp.astype(F32) * F32(shift)).astype(jnp.int32),
-                   0, w - 1)
-    winner = jnp.full((h, w), -1, jnp.int32).at[rows, tgt].max(
-        jnp.broadcast_to(xs, (h, w)).astype(jnp.int32))
-    hit = winner >= 0
-    src = jnp.clip(winner, 0, w - 1)
-    gathered = jnp.take_along_axis(img_in, src[:, :, None], axis=1)
-    return jnp.where(hit[:, :, None], gathered, jnp.uint8(0))
+    if num_disp is None or zero_disp is None:
+        dmin, dmax = -(w - 1), w - 1
+    else:
+        dmin, dmax = -zero_disp, num_disp - zero_disp
+    s = float(shift)
+    cands = (dmin * s, dmax * s)
+    off_lo = int(np.floor(min(cands)))
+    off_hi = int(np.ceil(max(cands)))
+
+    off = (disp.astype(F32) * F32(s)).astype(jnp.int32)   # trunc toward 0
+    pos = jnp.arange(w, dtype=jnp.int32)[None, :]
+    tgt = jnp.clip(pos + off, 0, w - 1)
+
+    out = jnp.zeros((h, w, c), img_in.dtype)
+    found = jnp.zeros((h, w), bool)
+    # source x = target - k; largest source wins => scan k ascending and
+    # keep the first match... largest x means smallest k, so scan k
+    # ascending and keep the FIRST hit.
+    for k in range(off_lo, off_hi + 1):
+        writer_tgt = shiftops.shift(tgt, 1, -k)
+        valid = (pos - k >= 0) & (pos - k <= w - 1)
+        match = valid & (writer_tgt == pos) & ~found
+        src_px = shiftops.shift(img_in, 1, -k)
+        out = jnp.where(match[:, :, None], src_px, out)
+        found = found | match
+    return out
 
 
 def dibr_dfm(img_l, img_r, disp_l, disp_r, mask_l, mask_r, shift):

@@ -81,15 +81,28 @@ def filter_bilateral(img: jnp.ndarray, radius: int, sigma_color: float,
     return num / den
 
 
-def _bleed_index(n: int, off: int) -> np.ndarray:
-    """filter_bleed's edge rule (d_filter.cu:124-127): negative coords are
-    mirrored; coords past the end map to n-1-off (the *offset* is
-    subtracted, a reference quirk we reproduce)."""
-    i = np.arange(n)
-    s = i + off
-    s = np.where(s < 0, -s, s)
-    s = np.where(i + off > n - 1, n - 1 - off, s)
-    return s
+def _bleed_shift(x: jnp.ndarray, axis: int, off: int) -> jnp.ndarray:
+    """x indexed by filter_bleed's quirky edge rule (d_filter.cu:124-127):
+    s = i + off, negative coords mirrored (s -> -s), coords past the end
+    map to n-1-off (the *offset* is subtracted -- a reference quirk we
+    reproduce).  Built from static slices/flips only (no gather HLO)."""
+    from stereo_to_multiview_tpu.ops import shiftops
+    n = x.shape[axis]
+    if off == 0:
+        return x
+    if off < 0:
+        # i in [0, -off): s = -(i + off) = -off, -off-1, ..., 1  (reversed)
+        head = shiftops.axis_slice(x, axis, 1, -off)
+        head = jnp.flip(head, axis=axis)
+        body = shiftops.axis_slice(x, axis, 0, n + off)
+        return jnp.concatenate([head, body], axis=axis)
+    # off > 0: i in [0, n-off): s = i + off; tail i > n-1-off: s = n-1-off
+    body = shiftops.axis_slice(x, axis, off, n - off)
+    tail = shiftops.axis_slice(x, axis, n - 1 - off, 1)
+    reps = [1] * x.ndim
+    reps[axis] = off
+    tail = jnp.tile(tail, reps)
+    return jnp.concatenate([body, tail], axis=axis)
 
 
 def filter_bleed(img: jnp.ndarray, radius: int) -> jnp.ndarray:
@@ -97,12 +110,12 @@ def filter_bleed(img: jnp.ndarray, radius: int) -> jnp.ndarray:
     neighborhood is non-zero, else passthrough (d_filter.cu:105-139)."""
     h, w = img.shape
     ksz = (2 * radius + 1) ** 2
+    nz = (img > 0).astype(jnp.int32)
     cnt = jnp.zeros((h, w), jnp.int32)
     for dy in range(-radius, radius + 1):
-        sy = jnp.asarray(_bleed_index(h, dy))
+        row = _bleed_shift(nz, 0, dy)
         for dx in range(-radius, radius + 1):
-            sx = jnp.asarray(_bleed_index(w, dx))
-            cnt = cnt + (img[sy][:, sx] > 0).astype(jnp.int32)
+            cnt = cnt + _bleed_shift(row, 1, dx)
     return jnp.where(cnt.astype(F32) > F32((ksz - 1) * 0.30),
                      jnp.uint8(1), img.astype(jnp.uint8))
 

@@ -40,16 +40,17 @@ def _penalties(gray_l: jnp.ndarray, gray_r: jnp.ndarray, num_disp: int,
     column x' = clamp(x + (d - zero_disp)).  Tiers (dc_hslo_h_cdiff_kernel):
     both < T -> (H1, H2); exactly one < T -> /4; both >= T -> /10.
     """
+    from stereo_to_multiview_tpu.ops import shiftops
     h, w = gray_l.shape
     gl = gray_l.astype(F32)
     gr = gray_r.astype(F32)
-    d1 = jnp.abs(gl - jnp.roll(gl, 1, axis=1).at[:, 0].set(gl[:, 0]))
-    d2_full = jnp.abs(gr - jnp.roll(gr, 1, axis=1).at[:, 0].set(gr[:, 0]))
-    xs = jnp.arange(w)[None, :]
-    d = jnp.arange(num_disp)[:, None, None]
-    xr = jnp.clip(xs[None] + sign * (d - zero_disp), 0, w - 1)
-    d2 = jnp.take_along_axis(jnp.broadcast_to(d2_full[None], (num_disp, h, w)),
-                             xr, axis=2)
+    d1 = jnp.abs(gl - shiftops.shift(gl, 1, -1))
+    d2_full = jnp.abs(gr - shiftops.shift(gr, 1, -1))
+    # per-d matching column is a static shift: stack D edge-padded slices
+    d2 = jnp.stack([
+        shiftops.shift(d2_full, 1, sign * (d - zero_disp))
+        for d in range(num_disp)
+    ])
     small1 = d1[None] < F32(T)
     small2 = d2 < F32(T)
     scale = jnp.where(small1 & small2, F32(1.0),

@@ -27,31 +27,29 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from stereo_to_multiview_tpu.ops import shiftops
+
 F32 = jnp.float32
 
 UP, DOWN, LEFT, RIGHT = 0, 1, 2, 3
 
 
-def _span_sum_inclusive(vol, arm_neg, arm_pos, axis):
+def _span_sum_inclusive(vol, arm_neg, arm_pos, axis, max_arm):
     """out[i] = sum vol[i - arm_neg[i] .. i + arm_pos[i]] (inclusive both
-    ends -- IRV's loops are `<=`, unlike aggregation's half-open spans)."""
+    ends -- IRV's loops are `<=`, unlike aggregation's half-open spans).
+    Prefix sum + bounded select-shift endpoint reads (no gather HLO)."""
     n = vol.shape[axis]
+    m = min(int(max_arm), n)
     cs = jnp.cumsum(vol, axis=axis, dtype=F32)
     pad = [(0, 0)] * vol.ndim
     pad[axis] = (1, 0)
-    cs = jnp.pad(cs, pad)
-    shape = [1] * vol.ndim
-    shape[axis] = n
-    i = jnp.arange(n).reshape(shape)
+    cs = jnp.pad(cs, pad)                     # length n+1
     nd_extra = vol.ndim - arm_neg.ndim
     a_neg = arm_neg.reshape((1,) * nd_extra + arm_neg.shape)
     a_pos = arm_pos.reshape((1,) * nd_extra + arm_pos.shape)
-    hi = jnp.clip(i + a_pos + 1, 0, n)
-    lo = jnp.clip(i - a_neg, 0, n)
-    hi = jnp.broadcast_to(hi, vol.shape)
-    lo = jnp.broadcast_to(lo, vol.shape)
-    return (jnp.take_along_axis(cs, hi, axis=axis)
-            - jnp.take_along_axis(cs, lo, axis=axis))
+    hi = shiftops.select_gather(cs, a_pos + 1, axis, 1, m + 1, out_len=n)
+    lo = shiftops.select_gather(cs, -a_neg, axis, -m, 0, out_len=n)
+    return hi - lo
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -72,12 +70,13 @@ def dr_irv(disp: jnp.ndarray, outliers: jnp.ndarray, arms: jnp.ndarray,
         dint = disp.astype(jnp.int32)          # trunc toward zero
         onehot = (reliable[None] & (dint[None] + zero_disp == bins)
                   ).astype(F32)                # (D, H, W)
-        row = _span_sum_inclusive(onehot, left, right, axis=2)
-        hist = _span_sum_inclusive(row, up, down, axis=1)
+        row = _span_sum_inclusive(onehot, left, right, axis=2, max_arm=usd)
+        hist = _span_sum_inclusive(row, up, down, axis=1, max_arm=usd)
 
         rel_row = _span_sum_inclusive(reliable[None].astype(F32),
-                                      left, right, axis=2)
-        total = _span_sum_inclusive(rel_row, up, down, axis=1)[0]
+                                      left, right, axis=2, max_arm=usd)
+        total = _span_sum_inclusive(rel_row, up, down, axis=1,
+                                    max_arm=usd)[0]
         total = total.astype(jnp.int32)
 
         max_bin = hist.max(axis=0)

@@ -73,30 +73,26 @@ def mux_multiview(views: jnp.ndarray, num_rows_out: int, num_cols_out: int,
     inv_y = np.float32(1.0) / y_interval
     y_mod = max(int(math.floor(float(y_interval) + 0.5)), 1)  # C round()
 
-    ty = jnp.arange(num_rows_out)
-    tx = jnp.arange(num_cols_out)
-    y_view = ((ty % y_mod).astype(F32) + F32(1.0)) * F32(v_cnt) * inv_y
-    x_view = (tx[None, :] * 3 + y_view.astype(jnp.int32)[:, None]) % v_cnt
-    r_view = x_view
-    g_view = (r_view + 1) % v_cnt
-    b_view = (r_view + 2) % v_cnt
+    # Per-subpixel view indices are *static* (pure geometry, no data
+    # dependence) -- host NumPy.
+    ty = np.arange(num_rows_out)
+    tx = np.arange(num_cols_out)
+    y_view = ((ty % y_mod).astype(np.float32) + np.float32(1.0)) \
+        * np.float32(v_cnt) * inv_y
+    x_view = (tx[None, :] * 3 + y_view.astype(np.int64)[:, None]) % v_cnt
+    # (H_out, W_out, 3) static view id per BGR color subpixel: R at +0,
+    # G at +1, B at +2 (channel order is BGR, so channel 0 gets +2)
+    view_id = np.stack([(x_view + 2) % v_cnt, (x_view + 1) % v_cnt, x_view],
+                       axis=-1)
 
-    sx = jnp.clip(tx.astype(F32) / F32(num_cols_out) * F32(w_in),
-                  0, F32(w_in - 1))
-    sy = jnp.clip(ty.astype(F32) / F32(num_rows_out) * F32(h_in),
-                  0, F32(h_in - 1))
-    sxg = jnp.broadcast_to(sx[None, :], (num_rows_out, num_cols_out))
-    syg = jnp.broadcast_to(sy[:, None], (num_rows_out, num_cols_out))
-
-    # Sample every view at the shared coordinates (one vectorized gather per
-    # view; V is small), truncate to u8 like fast_bilinear_interp, then pick
-    # per-subpixel views.
-    sampled = jnp.stack([
-        _bilinear_u8(views[v], sxg, syg).astype(jnp.uint8)
-        for v in range(v_cnt)
-    ])  # (V, H_out, W_out, 3)
-
-    out_b = jnp.take_along_axis(sampled[..., 0], b_view[None], axis=0)[0]
-    out_g = jnp.take_along_axis(sampled[..., 1], g_view[None], axis=0)[0]
-    out_r = jnp.take_along_axis(sampled[..., 2], r_view[None], axis=0)[0]
-    return jnp.stack([out_b, out_g, out_r], axis=-1)
+    # Resample every view to the output resolution (MXU matmul resize; u8
+    # truncation matches fast_bilinear_interp's cast), then combine with a
+    # static one-hot select -- no gather HLO anywhere.
+    from stereo_to_multiview_tpu.ops.scale import resize_bilinear_f32
+    out = jnp.zeros((num_rows_out, num_cols_out, 3), jnp.uint8)
+    for v in range(v_cnt):
+        mask = jnp.asarray(view_id == v)
+        sampled = resize_bilinear_f32(
+            views[v], num_rows_out, num_cols_out).astype(jnp.uint8)
+        out = jnp.where(mask, sampled, out)
+    return out
