@@ -20,6 +20,12 @@ import numpy as np
 def main():
     import jax
 
+    # Persistent executable cache: the fused 1080p graph takes minutes to
+    # compile; warm runs (and the driver's run) then load it in seconds.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from stereo_to_multiview_tpu.config import HD1080_D128
     from stereo_to_multiview_tpu.models.pipeline import process_frame
 

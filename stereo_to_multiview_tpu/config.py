@@ -62,6 +62,14 @@ class PipelineConfig:
     num_views: int = 8
     angle: float = 18.43         # lenticular slant, degrees (d_mux_multiview.cu:146)
 
+    # --- compute engine ---
+    # "auto": banded-MXU Pallas kernels on TPU, pure-XLA select-shift path
+    # on CPU (tests / virtual meshes).  "band" / "xla" force one.
+    engine: str = "auto"
+    band_nsplit: int = 2         # bf16 split terms for float band matmuls
+                                 # (2 ~ 1e-5 rel err, 3 ~ f32; IRV is exact
+                                 # regardless)
+
     # --- optional stages ---
     use_hslo: bool = False       # real scanline optimization (reference stub
                                  # d_dc_hslo.cu is inert; off preserves parity)

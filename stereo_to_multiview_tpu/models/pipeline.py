@@ -32,40 +32,87 @@ from stereo_to_multiview_tpu import ops
 F32 = jnp.float32
 
 
+def _use_band(cfg: PipelineConfig) -> bool:
+    """Resolve the engine choice at trace time.  'auto' uses the banded-MXU
+    Pallas kernels on accelerators and the pure-XLA path on CPU (where
+    interpret-mode kernels would be slow and the pjit partitioner needs a
+    plain-HLO graph)."""
+    if cfg.engine == "band":
+        return True
+    if cfg.engine == "xla":
+        return False
+    return jax.default_backend() != "cpu"
+
+
 def compute_disparities(img_l: jnp.ndarray, img_r: jnp.ndarray,
                         cfg: PipelineConfig):
     """Stereo matching half of the pipeline: images -> refined (disp_l,
     disp_r) float32 plus the outlier labels (debug/metrics surface)."""
-    cost_l, cost_r = ops.ci_adcensus(
-        img_l, img_r, cfg.ad_coeff, cfg.census_coeff,
-        cfg.num_disp, cfg.zero_disp)
+    band = _use_band(cfg)
+    interpret = jax.default_backend() == "cpu"
 
     arms_l = ops.cross_arms(img_l, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd)
     arms_r = ops.cross_arms(img_r, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd)
-    acost_l = ops.cross_aggregate(cost_l, arms_l, max_arm=cfg.usd)
-    acost_r = ops.cross_aggregate(cost_r, arms_r, max_arm=cfg.usd)
 
-    if cfg.use_hslo:
-        gray_l = ops.mux_average(img_l)
-        gray_r = ops.mux_average(img_r)
-        acost_l = ops.dc_hslo(acost_l, gray_l, gray_r, cfg.num_disp,
-                              cfg.zero_disp, cfg.hslo_T, cfg.hslo_H1,
-                              cfg.hslo_H2, sign=+1)
-        acost_r = ops.dc_hslo(acost_r, gray_l, gray_r, cfg.num_disp,
-                              cfg.zero_disp, cfg.hslo_T, cfg.hslo_H1,
-                              cfg.hslo_H2, sign=-1)
+    if band:
+        from stereo_to_multiview_tpu.ops.band import cross_aggregate_band
+        from stereo_to_multiview_tpu.ops.cost import ci_adcensus_hwd
+        cost_l, cost_r = ci_adcensus_hwd(
+            img_l, img_r, cfg.ad_coeff, cfg.census_coeff,
+            cfg.num_disp, cfg.zero_disp)                     # (H, W, D)
+        acost_l = cross_aggregate_band(cost_l, arms_l, cfg.band_nsplit,
+                                       interpret)
+        acost_r = cross_aggregate_band(cost_r, arms_r, cfg.band_nsplit,
+                                       interpret)
+        if cfg.use_hslo:
+            raise NotImplementedError(
+                "use_hslo requires engine='xla' (scanline DP is a "
+                "lax.scan, not a band kernel)")
+        disp_l = (jnp.argmin(acost_l, axis=2)
+                  - cfg.zero_disp).astype(jnp.float32)       # first min
+        disp_r = (jnp.argmin(acost_r, axis=2)
+                  - cfg.zero_disp).astype(jnp.float32)
+    else:
+        cost_l, cost_r = ops.ci_adcensus(
+            img_l, img_r, cfg.ad_coeff, cfg.census_coeff,
+            cfg.num_disp, cfg.zero_disp)                     # (D, H, W)
+        acost_l = ops.cross_aggregate(cost_l, arms_l, max_arm=cfg.usd)
+        acost_r = ops.cross_aggregate(cost_r, arms_r, max_arm=cfg.usd)
 
-    disp_l = ops.dc_wta(acost_l, cfg.zero_disp)
-    disp_r = ops.dc_wta(acost_r, cfg.zero_disp)
+        if cfg.use_hslo:
+            gray_l = ops.mux_average(img_l)
+            gray_r = ops.mux_average(img_r)
+            acost_l = ops.dc_hslo(acost_l, gray_l, gray_r, cfg.num_disp,
+                                  cfg.zero_disp, cfg.hslo_T, cfg.hslo_H1,
+                                  cfg.hslo_H2, sign=+1)
+            acost_r = ops.dc_hslo(acost_r, gray_l, gray_r, cfg.num_disp,
+                                  cfg.zero_disp, cfg.hslo_T, cfg.hslo_H1,
+                                  cfg.hslo_H2, sign=-1)
+
+        disp_l = ops.dc_wta(acost_l, cfg.zero_disp)
+        disp_r = ops.dc_wta(acost_r, cfg.zero_disp)
 
     out_l, out_r = ops.dr_dcc(disp_l, disp_r, cfg.dcc_thresh,
                               num_disp=cfg.num_disp, zero_disp=cfg.zero_disp)
-    disp_l, out_l = ops.dr_irv(disp_l, out_l, arms_l, cfg.irv_thresh_s,
-                               cfg.irv_thresh_h, cfg.num_disp, cfg.zero_disp,
-                               cfg.usd, cfg.irv_iterations)
-    disp_r, out_r = ops.dr_irv(disp_r, out_r, arms_r, cfg.irv_thresh_s,
-                               cfg.irv_thresh_h, cfg.num_disp, cfg.zero_disp,
-                               cfg.usd, cfg.irv_iterations)
+    if band:
+        from stereo_to_multiview_tpu.ops.band import dr_irv_band
+        disp_l, out_l = dr_irv_band(disp_l, out_l, arms_l, cfg.irv_thresh_s,
+                                    cfg.irv_thresh_h, cfg.num_disp,
+                                    cfg.zero_disp, cfg.usd,
+                                    cfg.irv_iterations, interpret)
+        disp_r, out_r = dr_irv_band(disp_r, out_r, arms_r, cfg.irv_thresh_s,
+                                    cfg.irv_thresh_h, cfg.num_disp,
+                                    cfg.zero_disp, cfg.usd,
+                                    cfg.irv_iterations, interpret)
+    else:
+        disp_l, out_l = ops.dr_irv(disp_l, out_l, arms_l, cfg.irv_thresh_s,
+                                   cfg.irv_thresh_h, cfg.num_disp,
+                                   cfg.zero_disp, cfg.usd,
+                                   cfg.irv_iterations)
+        disp_r, out_r = ops.dr_irv(disp_r, out_r, arms_r, cfg.irv_thresh_s,
+                                   cfg.irv_thresh_h, cfg.num_disp,
+                                   cfg.zero_disp, cfg.usd,
+                                   cfg.irv_iterations)
 
     disp_l = ops.filter_bilateral(disp_l, cfg.bilateral_radius,
                                   cfg.bilateral_sigma_color,

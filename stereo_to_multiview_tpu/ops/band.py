@@ -1,0 +1,205 @@
+"""Banded-matmul span sums on the MXU (Pallas TPU kernel).
+
+The cross-aggregation and IRV-histogram stages both reduce to the same
+primitive: a per-pixel windowed sum along one image axis where the window
+[i - arm_neg(i), i + arm_pos(i)) is data-dependent but bounded by usd and
+*identical across the D (disparity / histogram-bin) axis*.  On TPU the
+per-pixel endpoint lookup is a gather (pathological) and the select-shift
+chain costs O(usd) VPU ops per element.  Instead, observe that for an
+output tile of 128 pixels the window sum is a banded 0/1 matrix product:
+
+    out[o, :] = sum_i A[o, i] * vol[i, :]        A[o, i] = [i-o in window(o)]
+
+with the D axis riding the MXU lanes.  A is built on the fly from the arm
+vectors (2 compares per entry, VPU) and is *exact* in bfloat16, so:
+
+  * integer-valued volumes (IRV one-hot histograms) run at full bf16 MXU
+    throughput with exact f32 accumulation (counts < 2^24);
+  * float volumes (aggregated costs) use a 2- or 3-term bf16 split of the
+    input (hi = bf16(x), mid = bf16(x - hi), ...) for ~f32 accuracy at
+    2-3x the bf16 cost -- far above the VPU alternative.
+
+Reference semantics: d_ca_cross_sum.cu:243-293 (half-open spans, arm_pos
+excludes the anchor when 0) and d_dr_irv.cu:134-220 (inclusive spans).
+Vertical passes run this same kernel on a (W, H, D)-transposed volume --
+the reference uses the identical transpose trick (d_ca_cross.cu:255-270).
+
+The kernel assumes windows never extend past the image (guaranteed: cross
+arms stop at the border by construction, d_ca_cross.cu:41-69), so
+out-of-range band columns have A == 0 and no padding is ever read.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F32 = jnp.float32
+BF16 = jnp.bfloat16
+
+_LANE = 128  # output tile (sublanes of A) and window chunk size
+
+
+def _band_kernel(an_ref, ap_ref, vm1_ref, v0_ref, vp1_ref, out_ref,
+                 *, inclusive: bool, nsplit: int):
+    """One (row, 128-column segment) step.
+
+    an/ap: (128, 1) i32 arm lengths for the output pixels.
+    vm1/v0/vp1: (1, 128, D) f32 volume chunks at segments s-1, s, s+1
+    (edge segments clamp; their band coefficients are zero).
+    out: (1, 128, D) f32.
+    """
+    an = an_ref[:]                       # (128, 1)
+    ap = ap_ref[:]
+    o = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 1)
+
+    acc = None
+    for c, vref in ((-1, vm1_ref), (0, v0_ref), (1, vp1_ref)):
+        r = i + c * _LANE - o             # relative offset of column i
+        if inclusive:
+            band = (r >= -an) & (r <= ap)
+        else:
+            band = (r >= -an) & (r < ap)
+        a = band.astype(BF16)             # exact 0/1
+        x = vref[0]                       # (128, D) f32
+        part = x.astype(BF16)
+        y = jnp.dot(a, part, preferred_element_type=F32)
+        rem = x
+        for _ in range(nsplit - 1):
+            rem = rem - part.astype(F32)
+            part = rem.astype(BF16)
+            y = y + jnp.dot(a, part, preferred_element_type=F32)
+        acc = y if acc is None else acc + y
+    out_ref[0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("inclusive", "nsplit",
+                                             "interpret"))
+def band_span_sum_h(vol: jnp.ndarray, arm_neg: jnp.ndarray,
+                    arm_pos: jnp.ndarray, inclusive: bool = False,
+                    nsplit: int = 2, interpret: bool = False) -> jnp.ndarray:
+    """Windowed sum along axis 1 of a (H, W, D) volume.
+
+    out[y, x, d] = sum_{j in win(y,x)} vol[y, j, d], win = [x - arm_neg,
+    x + arm_pos) (half-open; `inclusive` closes the right end, IRV-style).
+    arm_* are (H, W) integer arrays bounded by min(128, W); windows must
+    not cross the image border (cross-arm construction guarantees it).
+    nsplit: bf16 terms for the volume (1 = exact for small-integer
+    volumes, 2 = ~1e-5 relative, 3 = ~f32).
+    """
+    h, w, d = vol.shape
+    wp = -(-w // _LANE) * _LANE
+    if wp != w:
+        vol = jnp.pad(vol, ((0, 0), (0, wp - w), (0, 0)))
+        zpad = ((0, 0), (0, wp - w))
+        arm_neg = jnp.pad(arm_neg, zpad)
+        arm_pos = jnp.pad(arm_pos, zpad)
+    n_seg = wp // _LANE
+
+    # arms transposed to (W, H) so each (128, 1) block is sublane-oriented
+    an_t = arm_neg.astype(jnp.int32).T
+    ap_t = arm_pos.astype(jnp.int32).T
+
+    grid = (h, n_seg)
+    arm_spec = pl.BlockSpec((_LANE, 1), lambda y, s: (s, y),
+                            memory_space=pltpu.VMEM)
+
+    def vol_at(delta):
+        def idx(y, s):
+            sc = jnp.clip(s + delta, 0, n_seg - 1)
+            return (y, sc, 0)
+        return pl.BlockSpec((1, _LANE, d), idx, memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_band_kernel, inclusive=inclusive, nsplit=nsplit),
+        grid=grid,
+        in_specs=[arm_spec, arm_spec, vol_at(-1), vol_at(0), vol_at(+1)],
+        out_specs=pl.BlockSpec((1, _LANE, d), lambda y, s: (y, s, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, wp, d), jnp.float32),
+        interpret=interpret,
+    )(an_t, ap_t, vol, vol, vol)
+    return out[:, :w]
+
+
+def band_span_sum_v(vol: jnp.ndarray, arm_neg: jnp.ndarray,
+                    arm_pos: jnp.ndarray, inclusive: bool = False,
+                    nsplit: int = 2, interpret: bool = False) -> jnp.ndarray:
+    """Windowed sum along axis 0 of a (H, W, D) volume: the H kernel on a
+    (W, H, D) transpose (the reference's own trick, d_ca_cross.cu:255-270;
+    XLA transposes are bandwidth-bound, unlike gathers)."""
+    vt = jnp.swapaxes(vol, 0, 1)
+    out = band_span_sum_h(vt, arm_neg.T, arm_pos.T, inclusive=inclusive,
+                          nsplit=nsplit, interpret=interpret)
+    return jnp.swapaxes(out, 0, 1)
+
+
+def cross_aggregate_band(cost_hwd: jnp.ndarray, arms: jnp.ndarray,
+                         nsplit: int = 2,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Four-pass cross aggregation (live order H,V,V,H, d_ca_cross.cu:
+    255-271) on a (H, W, D) volume via the banded-MXU kernel.  Matches
+    ops.cross.cross_aggregate up to the bf16-split tolerance."""
+    from stereo_to_multiview_tpu.ops.cross import UP, DOWN, LEFT, RIGHT
+    a = band_span_sum_h(cost_hwd, arms[LEFT], arms[RIGHT],
+                        nsplit=nsplit, interpret=interpret)
+    a = band_span_sum_v(a, arms[UP], arms[DOWN],
+                        nsplit=nsplit, interpret=interpret)
+    a = band_span_sum_v(a, arms[UP], arms[DOWN],
+                        nsplit=nsplit, interpret=interpret)
+    a = band_span_sum_h(a, arms[LEFT], arms[RIGHT],
+                        nsplit=nsplit, interpret=interpret)
+    return a
+
+
+def dr_irv_band(disp: jnp.ndarray, outliers: jnp.ndarray, arms: jnp.ndarray,
+                thresh_s: int, thresh_h: float, num_disp: int,
+                zero_disp: int, usd: int, iterations: int,
+                interpret: bool = False):
+    """Iterative region voting (d_dr_irv.cu) with the histogram's separable
+    row/column span sums on the MXU.  One-hot volumes and band matrices are
+    exactly representable in bf16 and counts stay < 2^24, so the MXU passes
+    are *exact* -- bit-identical to ops.irv.dr_irv.
+
+    Vote rule reproduced exactly (dr_irv_kernel_3:36): accept iff
+    reliable > thresh_s and (max_d + zero_disp)/reliable > thresh_h, with
+    the reference's quirk of dividing the winning *disparity*.
+    """
+    from stereo_to_multiview_tpu.ops.cross import UP, DOWN, LEFT, RIGHT
+    up = jnp.minimum(arms[UP], usd)   # pre-kernel clamps U to sm padding
+    down = arms[DOWN]
+    left = arms[LEFT]
+    right = arms[RIGHT]
+    bins = jax.lax.broadcasted_iota(jnp.int32, (1, 1, num_disp), 2)
+
+    def one_iter(_, state):
+        disp, outliers = state
+        reliable = (outliers == 0)
+        dint = disp.astype(jnp.int32)          # trunc toward zero
+        onehot = (reliable[:, :, None]
+                  & (dint[:, :, None] + zero_disp == bins)).astype(F32)
+        row = band_span_sum_h(onehot, left, right, inclusive=True,
+                              nsplit=1, interpret=interpret)
+        hist = band_span_sum_v(row, up, down, inclusive=True,
+                               nsplit=1, interpret=interpret)
+        total = jnp.sum(hist, axis=2).astype(jnp.int32)  # = sum of all bins
+
+        max_bin = hist.max(axis=2)
+        winner = jnp.argmax(hist, axis=2).astype(jnp.int32)  # first max
+        max_d = jnp.where(max_bin > 0, winner - zero_disp, dint)
+
+        ratio = ((max_d + zero_disp).astype(F32)
+                 / jnp.maximum(total, 1).astype(F32))
+        accept = ((outliers != 0)
+                  & (total > thresh_s)
+                  & (ratio > F32(thresh_h)))
+        new_disp = jnp.where(accept, max_d.astype(F32), disp)
+        new_out = jnp.where(accept, jnp.uint8(0), outliers)
+        return new_disp, new_out
+
+    return jax.lax.fori_loop(0, iterations, one_iter, (disp, outliers))

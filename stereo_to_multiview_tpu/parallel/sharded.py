@@ -33,6 +33,9 @@ def sharded_process_frame(mesh: Mesh, cfg: PipelineConfig,
     out_disp = NamedSharding(mesh, P(row_axis, None))
     out_img = NamedSharding(mesh, P(row_axis, None, None))
 
+    # The partitioner needs a plain-HLO graph; Pallas band kernels don't
+    # auto-shard (a shard_map band path is the planned upgrade).
+    cfg = cfg.replace(engine="xla")
     fn = functools.partial(_process_frame, cfg=cfg)
     return jax.jit(fn, in_shardings=(in_s,),
                    out_shardings=(out_disp, out_disp, out_img))
@@ -44,6 +47,8 @@ def sharded_compute_disparities(mesh: Mesh, cfg: PipelineConfig,
     in_s = NamedSharding(mesh, P(row_axis, None, None))
     out_disp = NamedSharding(mesh, P(row_axis, None))
     out_u8 = NamedSharding(mesh, P(row_axis, None))
+
+    cfg = cfg.replace(engine="xla")
 
     def fn(img_l, img_r):
         return _compute_disparities(img_l, img_r, cfg)

@@ -1,0 +1,130 @@
+"""Banded-MXU Pallas kernels (ops.band) vs the pure-XLA reference path.
+
+Runs the kernels in interpret mode on CPU at small shapes; the same code
+compiles to Mosaic on TPU.  IRV must be bit-exact (integer counts in
+bf16-exact range); aggregation matches within the bf16-split tolerance.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from stereo_to_multiview_tpu import ops
+from stereo_to_multiview_tpu.ops.band import (
+    band_span_sum_h, band_span_sum_v, cross_aggregate_band, dr_irv_band)
+from stereo_to_multiview_tpu.ops.cross import _span_sum
+from stereo_to_multiview_tpu.ops.irv import _span_sum_inclusive
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+@pytest.fixture(scope="module")
+def vol_arms(rng):
+    h, w, d, usd = 24, 200, 16, 9
+    vol = rng.random((h, w, d)).astype(np.float32)
+    x = np.arange(w)[None, :].repeat(h, 0)
+    y = np.arange(h)[:, None].repeat(w, 1)
+    arms = np.stack([
+        np.minimum(rng.integers(0, usd + 1, (h, w)), y),          # UP
+        np.minimum(rng.integers(0, usd + 1, (h, w)), h - 1 - y),  # DOWN
+        np.minimum(rng.integers(0, usd + 1, (h, w)), x),          # LEFT
+        np.minimum(rng.integers(0, usd + 1, (h, w)), w - x),      # RIGHT
+    ]).astype(np.int32)
+    return jnp.asarray(vol), jnp.asarray(arms), usd
+
+
+def test_band_h_matches_span_sum(vol_arms):
+    vol, arms, usd = vol_arms
+    ref = _span_sum(jnp.moveaxis(vol, 2, 0), arms[2], arms[3], axis=2,
+                    max_arm=usd)
+    out = band_span_sum_h(vol, arms[2], arms[3], nsplit=3, interpret=True)
+    np.testing.assert_allclose(_np(jnp.moveaxis(ref, 0, 2)), _np(out),
+                               atol=5e-5)
+
+
+def test_band_v_inclusive_matches(vol_arms):
+    vol, arms, usd = vol_arms
+    # inclusive spans: DOWN arm may reach h-1, keep windows in-bounds
+    dn = jnp.minimum(arms[1], vol.shape[0] - 1
+                     - jnp.arange(vol.shape[0])[:, None])
+    ref = _span_sum_inclusive(jnp.moveaxis(vol, 2, 0), arms[0], dn, axis=1,
+                              max_arm=usd)
+    out = band_span_sum_v(vol, arms[0], dn, inclusive=True, nsplit=3,
+                          interpret=True)
+    np.testing.assert_allclose(_np(jnp.moveaxis(ref, 0, 2)), _np(out),
+                               atol=5e-5)
+
+
+def test_band_binary_exact(vol_arms, rng):
+    vol, arms, usd = vol_arms
+    binary = jnp.asarray(
+        (rng.random(vol.shape) < 0.3).astype(np.float32))
+    ref = _span_sum_inclusive(jnp.moveaxis(binary, 2, 0), arms[2], arms[3],
+                              axis=2, max_arm=usd)
+    out = band_span_sum_h(binary, arms[2], arms[3], inclusive=True,
+                          nsplit=1, interpret=True)
+    np.testing.assert_array_equal(_np(jnp.moveaxis(ref, 0, 2)), _np(out))
+
+
+def test_cross_aggregate_band_matches(stereo_pair):
+    left, _ = stereo_pair
+    img = jnp.asarray(left)
+    usd, lsd = 9, 4
+    arms = ops.cross_arms(img, 6.0, 20.0, usd, lsd)
+    cost_dhw, _ = ops.ci_adcensus(img, jnp.asarray(np.roll(left, -2, 1)),
+                                  10.0, 30.0, 12, 6)
+    ref = ops.cross_aggregate(cost_dhw, arms, max_arm=usd)
+    out = cross_aggregate_band(jnp.moveaxis(cost_dhw, 0, 2), arms,
+                               nsplit=3, interpret=True)
+    ref = _np(jnp.moveaxis(ref, 0, 2))
+    np.testing.assert_allclose(ref, _np(out), rtol=2e-5, atol=2e-3)
+
+
+def test_dr_irv_band_bit_exact(stereo_pair, rng):
+    left, right = stereo_pair
+    img = jnp.asarray(left)
+    usd, lsd, nd, zd = 9, 4, 12, 6
+    arms = ops.cross_arms(img, 6.0, 20.0, usd, lsd)
+    h, w = left.shape[:2]
+    disp = jnp.asarray(
+        rng.integers(-zd, nd - zd, (h, w)).astype(np.float32))
+    outl = jnp.asarray((rng.random((h, w)) < 0.4).astype(np.uint8))
+
+    ref_d, ref_o = ops.dr_irv(disp, outl, arms, 5, 0.4, nd, zd, usd, 3)
+    out_d, out_o = dr_irv_band(disp, outl, arms, 5, 0.4, nd, zd, usd, 3,
+                               interpret=True)
+    np.testing.assert_array_equal(_np(ref_d), _np(out_d))
+    np.testing.assert_array_equal(_np(ref_o), _np(out_o))
+
+
+def test_ci_adcensus_hwd_matches_dhw(stereo_pair):
+    from stereo_to_multiview_tpu.ops.cost import ci_adcensus_hwd
+    left, right = stereo_pair
+    l, r = jnp.asarray(left), jnp.asarray(right)
+    a, b = ops.ci_adcensus(l, r, 10.0, 30.0, 12, 6)
+    a2, b2 = ci_adcensus_hwd(l, r, 10.0, 30.0, 12, 6)
+    np.testing.assert_array_equal(_np(jnp.moveaxis(a, 0, 2)), _np(a2))
+    np.testing.assert_array_equal(_np(jnp.moveaxis(b, 0, 2)), _np(b2))
+
+
+def test_band_engine_pipeline_close(stereo_pair):
+    """Full compute_disparities: band engine vs xla engine."""
+    from stereo_to_multiview_tpu.config import PipelineConfig
+    from stereo_to_multiview_tpu.models.pipeline import compute_disparities
+    left, right = stereo_pair
+    h, w = left.shape[:2]
+    base = dict(num_rows=h, num_cols=w, num_rows_out=h, num_cols_out=w,
+                num_disp=12, zero_disp=6, usd=9, lsd=4, irv_iterations=2,
+                bilateral_radius=2, num_views=4)
+    cfg_x = PipelineConfig(engine="xla", **base)
+    cfg_b = PipelineConfig(engine="band", band_nsplit=3, **base)
+    l, r = jnp.asarray(left), jnp.asarray(right)
+    dx_l, dx_r, ox_l, _ = compute_disparities(l, r, cfg_x)
+    db_l, db_r, ob_l, _ = compute_disparities(l, r, cfg_b)
+    # disparities are integers pre-bilateral; allow rare argmin tie flips
+    # from the bf16-split tolerance
+    mismatch = np.mean(_np(dx_l) != _np(db_l))
+    assert mismatch < 0.02, mismatch
+    np.testing.assert_allclose(_np(dx_l), _np(db_l), atol=12.0)
