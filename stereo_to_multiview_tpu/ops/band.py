@@ -44,38 +44,50 @@ BF16 = jnp.bfloat16
 _LANE = 128  # output tile (sublanes of A) and window chunk size
 
 
+_ROWS = 8   # image rows per grid step (amortizes per-step grid overhead)
+
+
 def _band_kernel(an_ref, ap_ref, vm1_ref, v0_ref, vp1_ref, out_ref,
                  *, inclusive: bool, nsplit: int):
-    """One (row, 128-column segment) step.
+    """One (128-column segment, 8-row block) step.
 
-    an/ap: (128, 1) i32 arm lengths for the output pixels.
-    vm1/v0/vp1: (1, 128, D) f32 volume chunks at segments s-1, s, s+1
+    an/ap: (8, 128) i32 arm blocks in natural (H, W) layout.
+    vm1/v0/vp1: (8, 128, D) f32 volume chunks at segments s-1, s, s+1
     (edge segments clamp; their band coefficients are zero).
-    out: (1, 128, D) f32.
+    out: (8, 128, D) f32.
+
+    The arm block is transposed once per step (a single small relayout)
+    so each row's arm vector is sublane-oriented; the band matrix is then
+    built directly in canonical (o, i) orientation and every MXU dot runs
+    untransposed.
     """
-    an = an_ref[:]                       # (128, 1)
-    ap = ap_ref[:]
     o = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 0)
     i = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 1)
 
-    acc = None
-    for c, vref in ((-1, vm1_ref), (0, v0_ref), (1, vp1_ref)):
-        r = i + c * _LANE - o             # relative offset of column i
-        if inclusive:
-            band = (r >= -an) & (r <= ap)
-        else:
-            band = (r >= -an) & (r < ap)
-        a = band.astype(BF16)             # exact 0/1
-        x = vref[0]                       # (128, D) f32
-        part = x.astype(BF16)
-        y = jnp.dot(a, part, preferred_element_type=F32)
-        rem = x
-        for _ in range(nsplit - 1):
-            rem = rem - part.astype(F32)
-            part = rem.astype(BF16)
-            y = y + jnp.dot(a, part, preferred_element_type=F32)
-        acc = y if acc is None else acc + y
-    out_ref[0] = acc
+    an_t = an_ref[:].T                    # (128, _ROWS), one relayout
+    ap_t = ap_ref[:].T
+
+    for row in range(_ROWS):
+        an = an_t[:, row:row + 1]         # (128, 1) sublane-oriented
+        ap = ap_t[:, row:row + 1]
+        acc = None
+        for c, vref in ((-1, vm1_ref), (0, v0_ref), (1, vp1_ref)):
+            r = i + c * _LANE - o         # offset of window pos i from o
+            if inclusive:
+                band = (r >= -an) & (r <= ap)
+            else:
+                band = (r >= -an) & (r < ap)
+            a = band.astype(BF16)         # exact 0/1, (o, i)
+            x = vref[row]                 # (128 i, D) f32
+            part = x.astype(BF16)
+            y = jnp.dot(a, part, preferred_element_type=F32)
+            rem = x
+            for _ in range(nsplit - 1):
+                rem = rem - part.astype(F32)
+                part = rem.astype(BF16)
+                y = y + jnp.dot(a, part, preferred_element_type=F32)
+            acc = y if acc is None else acc + y
+        out_ref[row] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("inclusive", "nsplit",
@@ -101,30 +113,36 @@ def band_span_sum_h(vol: jnp.ndarray, arm_neg: jnp.ndarray,
         arm_pos = jnp.pad(arm_pos, zpad)
     n_seg = wp // _LANE
 
-    # arms transposed to (W, H) so each (128, 1) block is sublane-oriented
-    an_t = arm_neg.astype(jnp.int32).T
-    ap_t = arm_pos.astype(jnp.int32).T
+    # arms stay in natural (H, W) layout; H padded to the row-block size
+    hp = -(-h // _ROWS) * _ROWS
+    an_n = arm_neg.astype(jnp.int32)
+    ap_n = arm_pos.astype(jnp.int32)
+    if hp != h:
+        rpad = ((0, hp - h), (0, 0))
+        an_n = jnp.pad(an_n, rpad)
+        ap_n = jnp.pad(ap_n, rpad)
+        vol = jnp.pad(vol, ((0, hp - h), (0, 0), (0, 0)))
 
-    grid = (h, n_seg)
-    arm_spec = pl.BlockSpec((_LANE, 1), lambda y, s: (s, y),
+    grid = (n_seg, hp // _ROWS)   # row blocks innermost: vol blocks stream
+    arm_spec = pl.BlockSpec((_ROWS, _LANE), lambda s, y: (y, s),
                             memory_space=pltpu.VMEM)
 
     def vol_at(delta):
-        def idx(y, s):
+        def idx(s, y):
             sc = jnp.clip(s + delta, 0, n_seg - 1)
             return (y, sc, 0)
-        return pl.BlockSpec((1, _LANE, d), idx, memory_space=pltpu.VMEM)
+        return pl.BlockSpec((_ROWS, _LANE, d), idx, memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         functools.partial(_band_kernel, inclusive=inclusive, nsplit=nsplit),
         grid=grid,
         in_specs=[arm_spec, arm_spec, vol_at(-1), vol_at(0), vol_at(+1)],
-        out_specs=pl.BlockSpec((1, _LANE, d), lambda y, s: (y, s, 0),
+        out_specs=pl.BlockSpec((_ROWS, _LANE, d), lambda s, y: (y, s, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((h, wp, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((hp, wp, d), jnp.float32),
         interpret=interpret,
-    )(an_t, ap_t, vol, vol, vol)
-    return out[:, :w]
+    )(an_n, ap_n, vol, vol, vol)
+    return out[:h, :w]
 
 
 def band_span_sum_v(vol: jnp.ndarray, arm_neg: jnp.ndarray,

@@ -25,7 +25,8 @@ UP, DOWN, LEFT, RIGHT = 0, 1, 2, 3
 
 
 def _arm_length(img_i32: jnp.ndarray, dy: int, dx: int,
-                ucd: float, lcd: float, usd: int, lsd: int) -> jnp.ndarray:
+                ucd: float, lcd: float, usd: int, lsd: int,
+                row_offset=None, global_h: int | None = None) -> jnp.ndarray:
     """Arm length (H, W) int32 in direction (dy, dx).
 
     Reference quirk preserved (d_ca_cross.cu:41-69): the arm value is
@@ -33,9 +34,19 @@ def _arm_length(img_i32: jnp.ndarray, dy: int, dx: int,
     yields arm k, while running off the image at distance k yields k-1.
     Therefore  arm = sum_k [ in_bounds(k) and no color failure at j < k ].
     (in_bounds is monotone, so the prefix-AND only needs the color tests.)
+
+    row_offset/global_h: when the image is a halo-extended row shard of a
+    larger frame (parallel.halo), vertical in-bounds tests use the global
+    row coordinate row_offset + y against global_h.
     """
     h, w = img_i32.shape[:2]
     ys = jnp.arange(h)
+    if row_offset is not None:
+        g_ys = ys + row_offset
+        g_h = global_h
+    else:
+        g_ys = ys
+        g_h = h
     xs = jnp.arange(w)
     anchor = img_i32
     axis = 0 if dy else 1
@@ -54,7 +65,7 @@ def _arm_length(img_i32: jnp.ndarray, dy: int, dx: int,
             fail = ac > F32(ucd)
         oks.append(~fail)
         if dy:
-            in_b = (ys + dy * k >= 0) & (ys + dy * k <= h - 1)
+            in_b = (g_ys + dy * k >= 0) & (g_ys + dy * k <= g_h - 1)
             inb.append(jnp.broadcast_to(in_b[:, None], (h, w)))
         else:
             in_b = (xs + dx * k >= 0) & (xs + dx * k <= w - 1)
@@ -71,14 +82,16 @@ def _arm_length(img_i32: jnp.ndarray, dy: int, dx: int,
 
 
 def cross_arms(img: jnp.ndarray, ucd: float, lcd: float,
-               usd: int, lsd: int) -> jnp.ndarray:
-    """(4, H, W) int32 arm lengths for a (H, W, 3) uint8 image."""
+               usd: int, lsd: int, row_offset=None,
+               global_h: int | None = None) -> jnp.ndarray:
+    """(4, H, W) int32 arm lengths for a (H, W, 3) uint8 image.
+    row_offset/global_h: see _arm_length (halo-sharded operation)."""
     c = img.astype(jnp.int32)
     return jnp.stack([
-        _arm_length(c, -1, 0, ucd, lcd, usd, lsd),
-        _arm_length(c, +1, 0, ucd, lcd, usd, lsd),
-        _arm_length(c, 0, -1, ucd, lcd, usd, lsd),
-        _arm_length(c, 0, +1, ucd, lcd, usd, lsd),
+        _arm_length(c, -1, 0, ucd, lcd, usd, lsd, row_offset, global_h),
+        _arm_length(c, +1, 0, ucd, lcd, usd, lsd, row_offset, global_h),
+        _arm_length(c, 0, -1, ucd, lcd, usd, lsd, row_offset, global_h),
+        _arm_length(c, 0, +1, ucd, lcd, usd, lsd, row_offset, global_h),
     ])
 
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 import jax.numpy as jnp
 
 F32 = jnp.float32
@@ -76,22 +77,46 @@ def mux_multiview(views: jnp.ndarray, num_rows_out: int, num_cols_out: int,
     # Per-subpixel view indices are *static* (pure geometry, no data
     # dependence) -- host NumPy.
     ty = np.arange(num_rows_out)
-    tx = np.arange(num_cols_out)
-    y_view = ((ty % y_mod).astype(np.float32) + np.float32(1.0)) \
+    return _mux_interlace(views, num_rows_out, num_cols_out, y_mod,
+                          inv_y, ty)
+
+
+def mux_multiview_rows(views: jnp.ndarray, angle: float,
+                       row_offset) -> jnp.ndarray:
+    """Row-shard variant of mux_multiview for the halo-sharded pipeline:
+    output resolution == input resolution (the interlace is then row-local)
+    and the lenticular row phase uses the *global* row index
+    row_offset + y (traced; see parallel.halo)."""
+    v_cnt, h_in, w_in = views.shape[:3]
+    y_interval = np.float32(v_cnt / math.tan(angle * math.pi / 180.0) / 3.0)
+    inv_y = np.float32(1.0) / y_interval
+    y_mod = max(int(math.floor(float(y_interval) + 0.5)), 1)  # C round()
+    ty = jnp.arange(h_in) + row_offset
+    return _mux_interlace(views, h_in, w_in, y_mod, inv_y, ty)
+
+
+def _mux_interlace(views, num_rows_out, num_cols_out, y_mod, inv_y, ty):
+    """Shared interlace body; `ty` is the output row index vector (a NumPy
+    array normally -- the view pattern folds to compile-time constants --
+    or a traced global index in the halo-sharded path)."""
+    import numpy as np
+    v_cnt = views.shape[0]
+    tx = jnp.arange(num_cols_out)
+    y_view = ((ty % y_mod).astype(jnp.float32) + np.float32(1.0)) \
         * np.float32(v_cnt) * inv_y
-    x_view = (tx[None, :] * 3 + y_view.astype(np.int64)[:, None]) % v_cnt
-    # (H_out, W_out, 3) static view id per BGR color subpixel: R at +0,
-    # G at +1, B at +2 (channel order is BGR, so channel 0 gets +2)
-    view_id = np.stack([(x_view + 2) % v_cnt, (x_view + 1) % v_cnt, x_view],
-                       axis=-1)
+    x_view = (tx[None, :] * 3 + y_view.astype(jnp.int32)[:, None]) % v_cnt
+    # (H_out, W_out, 3) view id per BGR color subpixel: R at +0, G at +1,
+    # B at +2 (channel order is BGR, so channel 0 gets +2)
+    view_id = jnp.stack([(x_view + 2) % v_cnt, (x_view + 1) % v_cnt, x_view],
+                        axis=-1)
 
     # Resample every view to the output resolution (MXU matmul resize; u8
     # truncation matches fast_bilinear_interp's cast), then combine with a
-    # static one-hot select -- no gather HLO anywhere.
+    # one-hot select -- no gather HLO anywhere.
     from stereo_to_multiview_tpu.ops.scale import resize_bilinear_f32
     out = jnp.zeros((num_rows_out, num_cols_out, 3), jnp.uint8)
     for v in range(v_cnt):
-        mask = jnp.asarray(view_id == v)
+        mask = view_id == v
         sampled = resize_bilinear_f32(
             views[v], num_rows_out, num_cols_out).astype(jnp.uint8)
         out = jnp.where(mask, sampled, out)

@@ -1,0 +1,259 @@
+"""Explicit halo-exchange sharding: shard_map + lax.ppermute over ICI.
+
+Strategy B (SURVEY.md section 2.5/7): shard the frame's row axis across
+the mesh and exchange exactly the stencil halos each stage needs, instead
+of trusting the pjit partitioner (Strategy A, parallel.sharded).  This
+bounds communication to the true halo widths and -- crucially -- runs the
+Pallas banded-MXU kernels per shard (a pallas_call inside shard_map is a
+plain per-device call; the pjit partitioner cannot split one).
+
+Halo widths (all verified against the stage stencils):
+  image           3*usd        arms need +-usd of every cost row; cost /
+                               pass1 rows +-2*usd feed the two V passes
+                               (census's +-3 fits inside for usd >= 3)
+  IRV per iter    usd          histogram V span, re-exchanged per round
+  bilateral       radius
+  bleed           radius       (with the reference's quirky edge rule)
+  feather         radius       (clamp)
+  mux             0            row-local, but needs the global row index
+                               for the lenticular phase (out res == in res)
+
+Global-border semantics: ppermute fills outermost halos with zeros; they
+are then overwritten per edge mode (clamp replication, the bleed mirror
+quirk) so every stage sees exactly the borders the unsharded op computes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from stereo_to_multiview_tpu.config import PipelineConfig
+from stereo_to_multiview_tpu import ops
+
+F32 = jnp.float32
+
+
+def _neighbor_perms(n):
+    up = [(i, i - 1) for i in range(1, n)]      # send to previous shard
+    down = [(i, i + 1) for i in range(n - 1)]   # send to next shard
+    return up, down
+
+
+def halo_exchange(x: jnp.ndarray, lo: int, hi: int, axis_size: int,
+                  axis_name: str = "row",
+                  edge: str = "clamp") -> jnp.ndarray:
+    """Extend the local row shard with `lo` rows from the previous shard
+    and `hi` rows from the next (axis 0).  `axis_size` is the static mesh
+    extent of `axis_name`.  Outermost shards fill their missing halo per
+    `edge`:
+      "clamp"  -- replicate the true border row (reference clamp-to-edge)
+      "zero"   -- zeros
+      "bleed"  -- the reference bleed filter's quirky rule
+                  (d_filter.cu:124-127): above-top row -off mirrors to
+                  row +off; below-bottom maps to row n-1-off.  Exact for
+                  radius 1 (the live-path value); for radius > 1 readers
+                  other than the border row see clamp-like rows at the
+                  two global frame edges.
+    """
+    n = axis_size
+    idx = jax.lax.axis_index(axis_name)
+    up, down = _neighbor_perms(n)
+
+    parts = []
+    if lo > 0:
+        from_prev = jax.lax.ppermute(x[-lo:], axis_name, down)
+        if edge == "clamp":
+            fill = jnp.broadcast_to(x[:1], from_prev.shape)
+        elif edge == "bleed":
+            # rows -lo..-1 mirror to rows lo..1
+            fill = x[1:lo + 1][::-1]
+        else:
+            fill = jnp.zeros_like(from_prev)
+        parts.append(jnp.where(idx == 0, fill, from_prev))
+    parts.append(x)
+    if hi > 0:
+        from_next = jax.lax.ppermute(x[:hi], axis_name, up)
+        if edge == "clamp":
+            fill = jnp.broadcast_to(x[-1:], from_next.shape)
+        elif edge == "bleed":
+            # rows n..n+hi-1 read row n-1-off, off = 1..hi
+            fill = x[-2:-hi - 2:-1] if hi > 1 else x[-2:-1]
+        else:
+            fill = jnp.zeros_like(from_next)
+        parts.append(jnp.where(idx == n - 1, fill, from_next))
+    return jnp.concatenate(parts, axis=0)
+
+
+def _halo_filter(fn, x, radius, axis_size, axis_name, edge="clamp"):
+    """Run a row-stencil filter of vertical reach `radius` on a shard:
+    exchange, apply, crop."""
+    ext = halo_exchange(x, radius, radius, axis_size, axis_name, edge=edge)
+    out = fn(ext)
+    return out[radius:ext.shape[0] - radius]
+
+
+def halo_process_frame(mesh: Mesh, cfg: PipelineConfig,
+                       row_axis: str = "row"):
+    """Jitted SBS -> (disp_l, disp_r, interlaced), row-sharded over the
+    mesh with explicit halo exchanges.  Requires out res == in res (the
+    interlace is then row-local) and num_rows divisible by the mesh size.
+
+    Matches the single-device pipeline's outputs except where a halo
+    window would cross a shard AND the engine differs; with the same
+    engine the stages are exact by construction (halos cover every
+    stencil; global borders are reproduced per edge mode).
+    """
+    if (cfg.num_rows_out, cfg.num_cols_out) != (cfg.num_rows, cfg.num_cols):
+        raise ValueError("halo path needs output res == input res; "
+                         "use parallel.sharded for resampling outputs")
+    n_dev = mesh.shape[row_axis]
+    if cfg.num_rows % n_dev:
+        raise ValueError(f"num_rows {cfg.num_rows} not divisible by "
+                         f"mesh axis {n_dev}")
+    rows_loc = cfg.num_rows // n_dev
+    usd = cfg.usd
+    h_img = 3 * usd            # image halo for arms+cost+2 V passes
+    max_halo = max(h_img, cfg.bilateral_radius, cfg.feather_radius,
+                   cfg.bleed_radius)
+    if rows_loc < max_halo:
+        raise ValueError(
+            f"shard height {rows_loc} smaller than the largest halo "
+            f"{max_halo}; use fewer devices or a taller frame")
+
+    def shard_fn(sbs):
+        axis = row_axis
+        idx = jax.lax.axis_index(axis)
+        row0 = idx * rows_loc                    # global first row (traced)
+
+        img_l, img_r = ops.demux_sbs(sbs)
+        ext_l = halo_exchange(img_l, h_img, h_img, n_dev, axis)
+        ext_r = halo_exchange(img_r, h_img, h_img, n_dev, axis)
+        ext_row0 = row0 - h_img
+
+        # --- stereo half on the extended domain ---
+        from stereo_to_multiview_tpu.models.pipeline import _use_band
+        band = _use_band(cfg)
+        interpret = jax.default_backend() == "cpu"
+        arms_l = ops.cross_arms(ext_l, cfg.ucd, cfg.lcd, usd, cfg.lsd,
+                                row_offset=ext_row0, global_h=cfg.num_rows)
+        arms_r = ops.cross_arms(ext_r, cfg.ucd, cfg.lcd, usd, cfg.lsd,
+                                row_offset=ext_row0, global_h=cfg.num_rows)
+        if band:
+            from stereo_to_multiview_tpu.ops.band import cross_aggregate_band
+            from stereo_to_multiview_tpu.ops.cost import ci_adcensus_hwd
+            cost_l, cost_r = ci_adcensus_hwd(
+                ext_l, ext_r, cfg.ad_coeff, cfg.census_coeff,
+                cfg.num_disp, cfg.zero_disp)
+            acost_l = cross_aggregate_band(cost_l, arms_l, cfg.band_nsplit,
+                                           interpret)
+            acost_r = cross_aggregate_band(cost_r, arms_r, cfg.band_nsplit,
+                                           interpret)
+            disp_l = (jnp.argmin(acost_l, axis=2)
+                      - cfg.zero_disp).astype(F32)
+            disp_r = (jnp.argmin(acost_r, axis=2)
+                      - cfg.zero_disp).astype(F32)
+        else:
+            cost_l, cost_r = ops.ci_adcensus(
+                ext_l, ext_r, cfg.ad_coeff, cfg.census_coeff,
+                cfg.num_disp, cfg.zero_disp)
+            acost_l = ops.cross_aggregate(cost_l, arms_l, max_arm=usd)
+            acost_r = ops.cross_aggregate(cost_r, arms_r, max_arm=usd)
+            disp_l = ops.dc_wta(acost_l, cfg.zero_disp)
+            disp_r = ops.dc_wta(acost_r, cfg.zero_disp)
+
+        # crop to the local rows; arms cropped for IRV
+        sl = slice(h_img, h_img + rows_loc)
+        disp_l, disp_r = disp_l[sl], disp_r[sl]
+
+        out_l, out_r = ops.dr_dcc(disp_l, disp_r, cfg.dcc_thresh,
+                                  num_disp=cfg.num_disp,
+                                  zero_disp=cfg.zero_disp)
+
+        # --- IRV: exchange disp/outlier halos every iteration ---
+        arms_l_irv = arms_l[:, h_img - usd:h_img + rows_loc + usd]
+        arms_r_irv = arms_r[:, h_img - usd:h_img + rows_loc + usd]
+
+        def irv(disp, outl, arms):
+            irv_fn = (_irv_band_iter if band else _irv_xla_iter)
+            for _ in range(cfg.irv_iterations):
+                dx = halo_exchange(disp, usd, usd, n_dev, axis, edge="zero")
+                ox = halo_exchange(outl, usd, usd, n_dev, axis, edge="zero")
+                # zero-filled outlier halo rows are label 0 = "reliable",
+                # but their disp is 0 too; mark them outliers so they
+                # never vote: outside the image there are no pixels.
+                rows_ext = jnp.arange(rows_loc + 2 * usd) - usd \
+                    + idx * rows_loc
+                valid = ((rows_ext >= 0)
+                         & (rows_ext < cfg.num_rows))[:, None]
+                ox = jnp.where(valid, ox, jnp.uint8(1))
+                dx, ox = irv_fn(dx, ox, arms, cfg, interpret)
+                disp = dx[usd:usd + rows_loc]
+                outl = ox[usd:usd + rows_loc]
+            return disp, outl
+
+        disp_l, out_l = irv(disp_l, out_l, arms_l_irv)
+        disp_r, out_r = irv(disp_r, out_r, arms_r_irv)
+
+        # --- bilateral ---
+        rb = cfg.bilateral_radius
+        blf = lambda d: ops.filter_bilateral(
+            d, rb, cfg.bilateral_sigma_color, cfg.bilateral_sigma_spatial,
+            cfg.num_disp)
+        disp_l = _halo_filter(blf, disp_l, rb, n_dev, axis)
+        disp_r = _halo_filter(blf, disp_r, rb, n_dev, axis)
+
+        # --- view synthesis (occl/warps horizontal; bleed+feather need
+        # small vertical halos) ---
+        occl_l, occl_r = ops.dibr_occl(disp_l, disp_r,
+                                       num_disp=cfg.num_disp,
+                                       zero_disp=cfg.zero_disp)
+        bld = lambda m: ops.filter_bleed(m, cfg.bleed_radius)
+        occl_l = _halo_filter(bld, occl_l, cfg.bleed_radius, n_dev, axis,
+                              edge="bleed")
+        occl_r = _halo_filter(bld, occl_r, cfg.bleed_radius, n_dev, axis,
+                              edge="bleed")
+        mask_l = ops.dibr_occl_to_mask(occl_l)
+        mask_r = ops.dibr_occl_to_mask(occl_r)
+
+        fr = cfg.feather_radius
+        fth = lambda m: ops.dibr.dibr_feather_mask(m, fr, cfg.feather_sigma)
+        feathered = _halo_filter(fth, mask_r, fr, n_dev, axis)
+
+        from stereo_to_multiview_tpu.ops.dibr import dibr_backward_warp
+        from stereo_to_multiview_tpu.ops.mux import (mux_merge_ab,
+                                                     mux_multiview_rows)
+        v = cfg.num_views
+        mids = []
+        for v_i in range(1, v - 1):
+            shift = 1.0 - v_i / (v - 1.0)
+            a = dibr_backward_warp(img_l, mask_r, disp_r, -shift,
+                                   cfg.num_disp, cfg.zero_disp)
+            b = dibr_backward_warp(img_r, mask_l, disp_l, 1.0 - shift,
+                                   cfg.num_disp, cfg.zero_disp)
+            mids.append(mux_merge_ab(a, b, feathered))
+        views = (jnp.stack([img_r] + mids + [img_l]) if v > 2
+                 else jnp.stack([img_r, img_l]))
+        interlaced = mux_multiview_rows(views, cfg.angle, row0)
+        return disp_l, disp_r, interlaced
+
+    from jax import shard_map
+    spec3 = P(row_axis, None, None)
+    spec2 = P(row_axis, None)
+    fn = shard_map(shard_fn, mesh=mesh, in_specs=(spec3,),
+                   out_specs=(spec2, spec2, spec3))
+    return jax.jit(fn)
+
+
+def _irv_xla_iter(disp, outl, arms, cfg, interpret):
+    return ops.dr_irv(disp, outl, arms, cfg.irv_thresh_s, cfg.irv_thresh_h,
+                      cfg.num_disp, cfg.zero_disp, cfg.usd, 1)
+
+
+def _irv_band_iter(disp, outl, arms, cfg, interpret):
+    from stereo_to_multiview_tpu.ops.band import dr_irv_band
+    return dr_irv_band(disp, outl, arms, cfg.irv_thresh_s, cfg.irv_thresh_h,
+                       cfg.num_disp, cfg.zero_disp, cfg.usd, 1, interpret)
