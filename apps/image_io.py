@@ -52,7 +52,9 @@ def main(argv=None):
     from stereo_to_multiview_tpu.utils.bmp import read_bmp
     from stereo_to_multiview_tpu.utils.dump import (
         DumpWriter, dump_pipeline_intermediates)
-    from stereo_to_multiview_tpu.utils.device import print_device_info
+    from stereo_to_multiview_tpu.utils.device import (
+        print_device_info, enable_compilation_cache)
+    enable_compilation_cache()
     from stereo_to_multiview_tpu.utils.timing import Timer
 
     print_device_info()

@@ -54,7 +54,9 @@ def main(argv=None):
     from stereo_to_multiview_tpu.models.stream import FrameSource, stream
     from stereo_to_multiview_tpu.utils.imageio import (
         write_png, normalize_for_display)
-    from stereo_to_multiview_tpu.utils.device import print_device_info
+    from stereo_to_multiview_tpu.utils.device import (
+        print_device_info, enable_compilation_cache)
+    enable_compilation_cache()
 
     print("=======================================")
     print("== STEREO TO MULTIVIEW VIDEO PROCESS ==")

@@ -48,30 +48,35 @@ def compute_disparities(img_l: jnp.ndarray, img_r: jnp.ndarray,
                         cfg: PipelineConfig):
     """Stereo matching half of the pipeline: images -> refined (disp_l,
     disp_r) float32 plus the outlier labels (debug/metrics surface)."""
+    from stereo_to_multiview_tpu.utils.profiling import stage_scope
     band = _use_band(cfg)
     interpret = jax.default_backend() == "cpu"
 
-    arms_l = ops.cross_arms(img_l, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd)
-    arms_r = ops.cross_arms(img_r, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd)
+    with stage_scope("ca_cross_arms"):
+        arms_l = ops.cross_arms(img_l, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd)
+        arms_r = ops.cross_arms(img_r, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd)
 
     if band:
         from stereo_to_multiview_tpu.ops.band import cross_aggregate_band
         from stereo_to_multiview_tpu.ops.cost import ci_adcensus_hwd
-        cost_l, cost_r = ci_adcensus_hwd(
-            img_l, img_r, cfg.ad_coeff, cfg.census_coeff,
-            cfg.num_disp, cfg.zero_disp)                     # (H, W, D)
-        acost_l = cross_aggregate_band(cost_l, arms_l, cfg.band_nsplit,
-                                       interpret)
-        acost_r = cross_aggregate_band(cost_r, arms_r, cfg.band_nsplit,
-                                       interpret)
+        with stage_scope("ci_adcensus"):
+            cost_l, cost_r = ci_adcensus_hwd(
+                img_l, img_r, cfg.ad_coeff, cfg.census_coeff,
+                cfg.num_disp, cfg.zero_disp)                 # (H, W, D)
+        with stage_scope("ca_cross_aggregate"):
+            acost_l = cross_aggregate_band(cost_l, arms_l, cfg.band_nsplit,
+                                           interpret)
+            acost_r = cross_aggregate_band(cost_r, arms_r, cfg.band_nsplit,
+                                           interpret)
         if cfg.use_hslo:
             raise NotImplementedError(
                 "use_hslo requires engine='xla' (scanline DP is a "
                 "lax.scan, not a band kernel)")
-        disp_l = (jnp.argmin(acost_l, axis=2)
-                  - cfg.zero_disp).astype(jnp.float32)       # first min
-        disp_r = (jnp.argmin(acost_r, axis=2)
-                  - cfg.zero_disp).astype(jnp.float32)
+        with stage_scope("dc_wta"):
+            disp_l = (jnp.argmin(acost_l, axis=2)
+                      - cfg.zero_disp).astype(jnp.float32)   # first min
+            disp_r = (jnp.argmin(acost_r, axis=2)
+                      - cfg.zero_disp).astype(jnp.float32)
     else:
         cost_l, cost_r = ops.ci_adcensus(
             img_l, img_r, cfg.ad_coeff, cfg.census_coeff,
@@ -92,34 +97,42 @@ def compute_disparities(img_l: jnp.ndarray, img_r: jnp.ndarray,
         disp_l = ops.dc_wta(acost_l, cfg.zero_disp)
         disp_r = ops.dc_wta(acost_r, cfg.zero_disp)
 
-    out_l, out_r = ops.dr_dcc(disp_l, disp_r, cfg.dcc_thresh,
-                              num_disp=cfg.num_disp, zero_disp=cfg.zero_disp)
-    if band:
-        from stereo_to_multiview_tpu.ops.band import dr_irv_band
-        disp_l, out_l = dr_irv_band(disp_l, out_l, arms_l, cfg.irv_thresh_s,
-                                    cfg.irv_thresh_h, cfg.num_disp,
-                                    cfg.zero_disp, cfg.usd,
-                                    cfg.irv_iterations, interpret)
-        disp_r, out_r = dr_irv_band(disp_r, out_r, arms_r, cfg.irv_thresh_s,
-                                    cfg.irv_thresh_h, cfg.num_disp,
-                                    cfg.zero_disp, cfg.usd,
-                                    cfg.irv_iterations, interpret)
-    else:
-        disp_l, out_l = ops.dr_irv(disp_l, out_l, arms_l, cfg.irv_thresh_s,
-                                   cfg.irv_thresh_h, cfg.num_disp,
-                                   cfg.zero_disp, cfg.usd,
-                                   cfg.irv_iterations)
-        disp_r, out_r = ops.dr_irv(disp_r, out_r, arms_r, cfg.irv_thresh_s,
-                                   cfg.irv_thresh_h, cfg.num_disp,
-                                   cfg.zero_disp, cfg.usd,
-                                   cfg.irv_iterations)
+    with stage_scope("dr_dcc"):
+        out_l, out_r = ops.dr_dcc(disp_l, disp_r, cfg.dcc_thresh,
+                                  num_disp=cfg.num_disp,
+                                  zero_disp=cfg.zero_disp)
+    with stage_scope("dr_irv"):
+        if band:
+            from stereo_to_multiview_tpu.ops.band import dr_irv_band
+            disp_l, out_l = dr_irv_band(disp_l, out_l, arms_l,
+                                        cfg.irv_thresh_s, cfg.irv_thresh_h,
+                                        cfg.num_disp, cfg.zero_disp,
+                                        cfg.usd, cfg.irv_iterations,
+                                        interpret)
+            disp_r, out_r = dr_irv_band(disp_r, out_r, arms_r,
+                                        cfg.irv_thresh_s, cfg.irv_thresh_h,
+                                        cfg.num_disp, cfg.zero_disp,
+                                        cfg.usd, cfg.irv_iterations,
+                                        interpret)
+        else:
+            disp_l, out_l = ops.dr_irv(disp_l, out_l, arms_l,
+                                       cfg.irv_thresh_s, cfg.irv_thresh_h,
+                                       cfg.num_disp, cfg.zero_disp,
+                                       cfg.usd, cfg.irv_iterations)
+            disp_r, out_r = ops.dr_irv(disp_r, out_r, arms_r,
+                                       cfg.irv_thresh_s, cfg.irv_thresh_h,
+                                       cfg.num_disp, cfg.zero_disp,
+                                       cfg.usd, cfg.irv_iterations)
 
-    disp_l = ops.filter_bilateral(disp_l, cfg.bilateral_radius,
-                                  cfg.bilateral_sigma_color,
-                                  cfg.bilateral_sigma_spatial, cfg.num_disp)
-    disp_r = ops.filter_bilateral(disp_r, cfg.bilateral_radius,
-                                  cfg.bilateral_sigma_color,
-                                  cfg.bilateral_sigma_spatial, cfg.num_disp)
+    with stage_scope("filter_bilateral"):
+        disp_l = ops.filter_bilateral(disp_l, cfg.bilateral_radius,
+                                      cfg.bilateral_sigma_color,
+                                      cfg.bilateral_sigma_spatial,
+                                      cfg.num_disp)
+        disp_r = ops.filter_bilateral(disp_r, cfg.bilateral_radius,
+                                      cfg.bilateral_sigma_color,
+                                      cfg.bilateral_sigma_spatial,
+                                      cfg.num_disp)
     return disp_l, disp_r, out_l, out_r
 
 
@@ -135,26 +148,31 @@ def synthesize_views(img_l, img_r, disp_l, disp_r, cfg: PipelineConfig):
     """
     from stereo_to_multiview_tpu.ops.dibr import dibr_backward_warp
     from stereo_to_multiview_tpu.ops.mux import mux_merge_ab
+    from stereo_to_multiview_tpu.utils.profiling import stage_scope
 
-    occl_l, occl_r = ops.dibr_occl(disp_l, disp_r, num_disp=cfg.num_disp,
-                                   zero_disp=cfg.zero_disp)
-    occl_l = ops.filter_bleed(occl_l, cfg.bleed_radius)
-    occl_r = ops.filter_bleed(occl_r, cfg.bleed_radius)
-    mask_l = ops.dibr_occl_to_mask(occl_l)
-    mask_r = ops.dibr_occl_to_mask(occl_r)
+    with stage_scope("dibr_occl"):
+        occl_l, occl_r = ops.dibr_occl(disp_l, disp_r, num_disp=cfg.num_disp,
+                                       zero_disp=cfg.zero_disp)
+        occl_l = ops.filter_bleed(occl_l, cfg.bleed_radius)
+        occl_r = ops.filter_bleed(occl_r, cfg.bleed_radius)
+        mask_l = ops.dibr_occl_to_mask(occl_l)
+        mask_r = ops.dibr_occl_to_mask(occl_r)
 
-    feathered = ops.dibr.dibr_feather_mask(
-        mask_r, cfg.feather_radius, cfg.feather_sigma)
+    with stage_scope("dibr_feather"):
+        feathered = ops.dibr.dibr_feather_mask(
+            mask_r, cfg.feather_radius, cfg.feather_sigma)
 
     v = cfg.num_views
     mids = []
-    for v_i in range(1, v - 1):
-        shift = 1.0 - v_i / (v - 1.0)
-        view_from_l = dibr_backward_warp(img_l, mask_r, disp_r, -shift,
-                                         cfg.num_disp, cfg.zero_disp)
-        view_from_r = dibr_backward_warp(img_r, mask_l, disp_l, 1.0 - shift,
-                                         cfg.num_disp, cfg.zero_disp)
-        mids.append(mux_merge_ab(view_from_l, view_from_r, feathered))
+    with stage_scope("dibr_dbm"):
+        for v_i in range(1, v - 1):
+            shift = 1.0 - v_i / (v - 1.0)
+            view_from_l = dibr_backward_warp(img_l, mask_r, disp_r, -shift,
+                                             cfg.num_disp, cfg.zero_disp)
+            view_from_r = dibr_backward_warp(img_r, mask_l, disp_l,
+                                             1.0 - shift,
+                                             cfg.num_disp, cfg.zero_disp)
+            mids.append(mux_merge_ab(view_from_l, view_from_r, feathered))
 
     if v > 2:
         views = jnp.stack([img_r] + mids + [img_l])

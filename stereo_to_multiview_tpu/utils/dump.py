@@ -73,8 +73,8 @@ def dump_pipeline_intermediates(writer: DumpWriter, img_l, img_r, cfg,
 
     arms_l = ops.cross_arms(img_l, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd)
     arms_r = ops.cross_arms(img_r, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd)
-    acost_l = ops.cross_aggregate(cost_l, arms_l)
-    acost_r = ops.cross_aggregate(cost_r, arms_r)
+    acost_l = ops.cross_aggregate(cost_l, arms_l, max_arm=cfg.usd)
+    acost_r = ops.cross_aggregate(cost_r, arms_r, max_arm=cfg.usd)
     if cost_slices:
         writer.volume_slices("03_acost_l", acost_l)
 
@@ -83,7 +83,8 @@ def dump_pipeline_intermediates(writer: DumpWriter, img_l, img_r, cfg,
     writer.map("04_disp_raw_l", disp_l)
     writer.map("04_disp_raw_r", disp_r)
 
-    out_l, out_r = ops.dr_dcc(disp_l, disp_r, cfg.dcc_thresh)
+    out_l, out_r = ops.dr_dcc(disp_l, disp_r, cfg.dcc_thresh,
+                              num_disp=cfg.num_disp, zero_disp=cfg.zero_disp)
     writer.map("05_outliers_l", np.asarray(out_l).astype(np.float32))
     writer.map("05_outliers_r", np.asarray(out_r).astype(np.float32))
 
@@ -103,7 +104,8 @@ def dump_pipeline_intermediates(writer: DumpWriter, img_l, img_r, cfg,
     writer.map("06_disp_l", disp_l)
     writer.map("06_disp_r", disp_r)
 
-    occl_l, occl_r = ops.dibr_occl(disp_l, disp_r)
+    occl_l, occl_r = ops.dibr_occl(disp_l, disp_r, num_disp=cfg.num_disp,
+                                   zero_disp=cfg.zero_disp)
     occl_l = ops.filter_bleed(occl_l, cfg.bleed_radius)
     occl_r = ops.filter_bleed(occl_r, cfg.bleed_radius)
     mask_l = ops.dibr_occl_to_mask(occl_l)
