@@ -166,7 +166,12 @@ def synthesize_views(img_l, img_r, disp_l, disp_r, cfg: PipelineConfig):
     mids = []
     with stage_scope("dibr_dbm"):
         for v_i in range(1, v - 1):
-            shift = 1.0 - v_i / (v - 1.0)
+            # f32 arithmetic like the reference's float expression
+            # (d_io.cu:189) -- also keeps the traced-shift sharded
+            # synthesizer bit-identical
+            import numpy as np
+            shift = float(np.float32(1.0)
+                          - np.float32(v_i) / np.float32(v - 1.0))
             view_from_l = dibr_backward_warp(img_l, mask_r, disp_r, -shift,
                                              cfg.num_disp, cfg.zero_disp)
             view_from_r = dibr_backward_warp(img_r, mask_l, disp_l,

@@ -126,11 +126,19 @@ class PrefetchingSource:
 
 
 def stream(source, cfg: PipelineConfig, lowres: bool = False,
-           on_frame=None, prefetch: int = 4, verbose: bool = True):
+           on_frame=None, prefetch: int = 4, verbose: bool = True,
+           max_consecutive_failures: int = 3):
     """Run the fused pipeline over a frame stream.  Returns FrameMeter stats.
 
     on_frame(i, disp_l, disp_r, interlaced) is called with device arrays --
     fetch with np.asarray only if you need host data (it synchronizes).
+
+    Failure policy (SURVEY.md section 5): the reference exits the process
+    on any CUDA error (cuda_utils.h:19) but silently loops past video read
+    failures (video_io.cpp:149-153).  Here a bad frame (decode error,
+    shape mismatch, device error) is logged and skipped; more than
+    `max_consecutive_failures` in a row aborts the stream, since that
+    signals a wedged device rather than a corrupt frame.
     """
     import jax
     from stereo_to_multiview_tpu.models.pipeline import (
@@ -140,14 +148,23 @@ def stream(source, cfg: PipelineConfig, lowres: bool = False,
     meter = FrameMeter(warmup=2)
     src = PrefetchingSource(source, prefetch) if prefetch else source
 
+    failures = 0
     meter.tick()
     for i, sbs in enumerate(src):
-        out = fn(jax.device_put(sbs), cfg)
-        if on_frame is not None:
-            on_frame(i, *out)
-        else:
-            # force completion for honest per-frame timing
-            np.asarray(out[2])
+        try:
+            out = fn(jax.device_put(sbs), cfg)
+            if on_frame is not None:
+                on_frame(i, *out)
+            else:
+                # force completion for honest per-frame timing
+                np.asarray(out[2])
+            failures = 0
+        except Exception as e:  # noqa: BLE001 -- stream must survive a frame
+            failures += 1
+            print(f"[[ frame {i} FAILED: {type(e).__name__}: {e} ]]")
+            if failures > max_consecutive_failures:
+                raise
+            continue
         meter.tick()
         if verbose:
             ts = meter.times

@@ -78,6 +78,23 @@ def dibr_backward_warp(img_in: jnp.ndarray, mask: jnp.ndarray,
     return out.astype(jnp.uint8)
 
 
+def dibr_backward_warp_dyn(img_in: jnp.ndarray, mask: jnp.ndarray,
+                           disp: jnp.ndarray, shift,
+                           num_disp: int, zero_disp: int) -> jnp.ndarray:
+    """dibr_backward_warp with a *traced* shift in [-1, 1] (used by the
+    view-axis-sharded synthesizer, where the view fraction depends on the
+    device index).  The select-shift bound widens to the full disparity
+    range both ways."""
+    h, w, _ = img_in.shape
+    dmax = max(zero_disp, num_disp - zero_disp)
+    xs = jnp.arange(w, dtype=F32)[None, :, None]
+    sx = xs + (disp.astype(F32) * shift.astype(F32))[:, :, None]
+    interp = shiftops.linear_gather(img_in.astype(F32), sx, 1,
+                                    -dmax - 1, dmax + 1).astype(jnp.uint8)
+    out = interp.astype(F32) * mask.astype(F32)[:, :, None]
+    return out.astype(jnp.uint8)
+
+
 def dibr_feather_mask(mask_r: jnp.ndarray, feather_radius: int,
                       feather_sigma: float) -> jnp.ndarray:
     """Blend weight for view merging: invert the right-eye mask and feather

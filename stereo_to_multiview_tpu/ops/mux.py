@@ -95,6 +95,24 @@ def mux_multiview_rows(views: jnp.ndarray, angle: float,
     return _mux_interlace(views, h_in, w_in, y_mod, inv_y, ty)
 
 
+def mux_view_pattern(v_cnt: int, num_rows_out: int, num_cols_out: int,
+                     angle: float, ty) -> jnp.ndarray:
+    """(H_out, W_out, 3) int32 view id per BGR color subpixel: R at +0,
+    G at +1, B at +2 (channel order is BGR, so channel 0 gets +2).
+    `ty` is the output row index vector (NumPy for the static case,
+    traced global rows in the sharded paths).
+    Geometry: d_mux_multiview.cu:38-84, :146."""
+    y_interval = np.float32(v_cnt / math.tan(angle * math.pi / 180.0) / 3.0)
+    inv_y = np.float32(1.0) / y_interval
+    y_mod = max(int(math.floor(float(y_interval) + 0.5)), 1)  # C round()
+    tx = jnp.arange(num_cols_out)
+    y_view = ((ty % y_mod).astype(jnp.float32) + np.float32(1.0)) \
+        * np.float32(v_cnt) * inv_y
+    x_view = (tx[None, :] * 3 + y_view.astype(jnp.int32)[:, None]) % v_cnt
+    return jnp.stack([(x_view + 2) % v_cnt, (x_view + 1) % v_cnt, x_view],
+                     axis=-1)
+
+
 def _mux_interlace(views, num_rows_out, num_cols_out, y_mod, inv_y, ty):
     """Shared interlace body; `ty` is the output row index vector (a NumPy
     array normally -- the view pattern folds to compile-time constants --

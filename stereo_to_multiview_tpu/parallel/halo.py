@@ -97,10 +97,19 @@ def _halo_filter(fn, x, radius, axis_size, axis_name, edge="clamp"):
 
 
 def halo_process_frame(mesh: Mesh, cfg: PipelineConfig,
-                       row_axis: str = "row"):
+                       row_axis: str = "row",
+                       view_axis: str | None = None):
     """Jitted SBS -> (disp_l, disp_r, interlaced), row-sharded over the
     mesh with explicit halo exchanges.  Requires out res == in res (the
     interlace is then row-local) and num_rows divisible by the mesh size.
+
+    With `view_axis` set (a second mesh axis), the DIBR view fan-out is
+    additionally sharded: each device synthesizes num_views/n_view of
+    the views for its rows and contributes a partial interlace; one psum
+    over the view axis assembles the frame (each output subpixel samples
+    exactly one view, so partials are disjoint).  The stereo half is
+    replicated along the view axis -- this axis pays off when V is large
+    (e.g. the 4K 16-view config).
 
     Matches the single-device pipeline's outputs except where a halo
     window would cross a shard AND the engine differs; with the same
@@ -111,9 +120,13 @@ def halo_process_frame(mesh: Mesh, cfg: PipelineConfig,
         raise ValueError("halo path needs output res == input res; "
                          "use parallel.sharded for resampling outputs")
     n_dev = mesh.shape[row_axis]
+    n_view = mesh.shape[view_axis] if view_axis else 1
     if cfg.num_rows % n_dev:
         raise ValueError(f"num_rows {cfg.num_rows} not divisible by "
                          f"mesh axis {n_dev}")
+    if cfg.num_views % n_view:
+        raise ValueError(f"num_views {cfg.num_views} not divisible by "
+                         f"view axis {n_view}")
     rows_loc = cfg.num_rows // n_dev
     usd = cfg.usd
     h_img = 3 * usd            # image halo for arms+cost+2 V passes
@@ -223,28 +236,63 @@ def halo_process_frame(mesh: Mesh, cfg: PipelineConfig,
         fth = lambda m: ops.dibr.dibr_feather_mask(m, fr, cfg.feather_sigma)
         feathered = _halo_filter(fth, mask_r, fr, n_dev, axis)
 
-        from stereo_to_multiview_tpu.ops.dibr import dibr_backward_warp
+        from stereo_to_multiview_tpu.ops.dibr import (dibr_backward_warp,
+                                                      dibr_backward_warp_dyn)
         from stereo_to_multiview_tpu.ops.mux import (mux_merge_ab,
-                                                     mux_multiview_rows)
+                                                     mux_multiview_rows,
+                                                     mux_view_pattern)
         v = cfg.num_views
-        mids = []
-        for v_i in range(1, v - 1):
-            shift = 1.0 - v_i / (v - 1.0)
-            a = dibr_backward_warp(img_l, mask_r, disp_r, -shift,
-                                   cfg.num_disp, cfg.zero_disp)
-            b = dibr_backward_warp(img_r, mask_l, disp_l, 1.0 - shift,
-                                   cfg.num_disp, cfg.zero_disp)
-            mids.append(mux_merge_ab(a, b, feathered))
-        views = (jnp.stack([img_r] + mids + [img_l]) if v > 2
-                 else jnp.stack([img_r, img_l]))
-        interlaced = mux_multiview_rows(views, cfg.angle, row0)
+        if view_axis is None:
+            import numpy as np
+            mids = []
+            for v_i in range(1, v - 1):
+                # f32 like the reference (d_io.cu:189) and the dyn path
+                shift = float(np.float32(1.0)
+                              - np.float32(v_i) / np.float32(v - 1.0))
+                a = dibr_backward_warp(img_l, mask_r, disp_r, -shift,
+                                       cfg.num_disp, cfg.zero_disp)
+                b = dibr_backward_warp(img_r, mask_l, disp_l, 1.0 - shift,
+                                       cfg.num_disp, cfg.zero_disp)
+                mids.append(mux_merge_ab(a, b, feathered))
+            views = (jnp.stack([img_r] + mids + [img_l]) if v > 2
+                     else jnp.stack([img_r, img_l]))
+            interlaced = mux_multiview_rows(views, cfg.angle, row0)
+            return disp_l, disp_r, interlaced
+
+        # view-axis fan-out: this device synthesizes views
+        # [v_idx*vloc, (v_idx+1)*vloc) for its rows, builds the partial
+        # interlace, and one psum assembles the frame.
+        vloc = v // n_view
+        v_idx = jax.lax.axis_index(view_axis)
+        ty = jnp.arange(rows_loc) + row0
+        pattern = mux_view_pattern(v, rows_loc, cfg.num_cols, cfg.angle, ty)
+        partial = jnp.zeros((rows_loc, cfg.num_cols, 3), jnp.int32)
+        for j in range(vloc):
+            vg = v_idx * vloc + j                       # traced view id
+            shift = (F32(1.0)
+                     - vg.astype(F32) / F32(v - 1.0))   # d_io.cu:189
+            a = dibr_backward_warp_dyn(img_l, mask_r, disp_r, -shift,
+                                       cfg.num_disp, cfg.zero_disp)
+            b = dibr_backward_warp_dyn(img_r, mask_l, disp_l,
+                                       F32(1.0) - shift,
+                                       cfg.num_disp, cfg.zero_disp)
+            merged = mux_merge_ab(a, b, feathered)
+            view = jnp.where(vg == 0, img_r,
+                             jnp.where(vg == v - 1, img_l, merged))
+            partial = partial + jnp.where(pattern == vg,
+                                          view.astype(jnp.int32), 0)
+        interlaced = jax.lax.psum(partial, view_axis).astype(jnp.uint8)
         return disp_l, disp_r, interlaced
 
     from jax import shard_map
     spec3 = P(row_axis, None, None)
     spec2 = P(row_axis, None)
+    # check_vma off: with a view axis the disparities are computed
+    # replicated along it (and the psum'd interlace is identical), which
+    # the replication checker cannot see through.
     fn = shard_map(shard_fn, mesh=mesh, in_specs=(spec3,),
-                   out_specs=(spec2, spec2, spec3))
+                   out_specs=(spec2, spec2, spec3),
+                   check_vma=view_axis is None)
     return jax.jit(fn)
 
 

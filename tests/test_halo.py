@@ -82,6 +82,41 @@ def test_halo_process_frame_matches_single(mesh):
     assert frac < 0.10, frac
 
 
+def test_halo_view_sharded_matches_row_only(mesh):
+    """2-D (row x view) mesh: the view-axis fan-out + psum interlace must
+    reproduce the row-only halo result bit-for-bit (same disparities in;
+    the partial interlaces are disjoint by construction)."""
+    rng = np.random.default_rng(3)
+    h, w = 64, 48
+    base = rng.integers(0, 256, (h, w + 6, 3)).astype(np.float32)
+    k = np.ones(3) / 3.0
+    for ax in (0, 1):
+        base = np.apply_along_axis(
+            lambda m: np.convolve(m, k, mode="same"), ax, base)
+    left = base[:, :w].astype(np.uint8)
+    right = base[:, 3:3 + w].astype(np.uint8)
+    sbs = np.concatenate([left, right], axis=1)
+
+    cfg = PipelineConfig(num_rows=h, num_cols=w, num_rows_out=h,
+                         num_cols_out=w, num_disp=8, zero_disp=4,
+                         usd=7, lsd=3, irv_iterations=1,
+                         bilateral_radius=2, feather_radius=3,
+                         num_views=4, engine="xla")
+
+    mesh_row = make_mesh((2,), ("row",), jax.devices()[:2])
+    ref = list(map(np.asarray, halo_process_frame(mesh_row, cfg)(sbs)))
+
+    mesh_2d = make_mesh((2, 2), ("row", "view"), jax.devices()[:4])
+    out = list(map(np.asarray, halo_process_frame(
+        mesh_2d, cfg, view_axis="view")(sbs)))
+
+    np.testing.assert_array_equal(ref[0], out[0])
+    np.testing.assert_array_equal(ref[1], out[1])
+    # warps differ only in fp-identical ways; interlace picks one view
+    # per subpixel so the assembled frames must agree exactly
+    np.testing.assert_array_equal(ref[2], out[2])
+
+
 def test_halo_rejects_bad_geometry(mesh):
     cfg = PipelineConfig(num_rows=97, num_cols=64, num_rows_out=97,
                          num_cols_out=64, num_disp=8, zero_disp=4)
