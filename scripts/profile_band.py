@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Per-stage timing of the band-engine pipeline with the relay's ~30 ms
+per-dispatch floor amortized away: each stage is wrapped in lax.map over a
+small batch and timed as ONE dispatch.
+
+Usage: python scripts/profile_band.py [--rows N --cols N --disp N] [--stage S]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=384)
+    ap.add_argument("--cols", type=int, default=640)
+    ap.add_argument("--disp", type=int, default=64)
+    ap.add_argument("--views", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--stages", default="all",
+                    help="comma list: cost,agg,wta,dcc,irv,bilateral,"
+                         "arms,synth,mux,full")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from stereo_to_multiview_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
+    from stereo_to_multiview_tpu.config import PipelineConfig
+    from stereo_to_multiview_tpu import ops
+    from stereo_to_multiview_tpu.ops import band as B
+    from stereo_to_multiview_tpu.ops.cost import ci_adcensus_hwd
+
+    cfg = PipelineConfig(num_rows=args.rows, num_cols=args.cols,
+                         num_rows_out=args.rows, num_cols_out=args.cols,
+                         num_disp=args.disp, zero_disp=args.disp // 2,
+                         num_views=args.views)
+    interp = jax.default_backend() == "cpu"
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 256, (cfg.num_rows, cfg.num_cols + 16, 3),
+                        dtype=np.uint8)
+    img_l = jax.device_put(np.ascontiguousarray(base[:, :cfg.num_cols]))
+    img_r = jax.device_put(np.ascontiguousarray(base[:, 16:]))
+    B_N = args.batch
+
+    def timed(label, fn, *xs):
+        """fn maps one tuple of arrays -> pytree; timed over lax.map."""
+        stacked = tuple(jnp.stack([x] * B_N) for x in xs)
+
+        @jax.jit
+        def run(st):
+            return jax.lax.map(lambda t: fn(*t), st)
+
+        def sync(o):
+            jax.tree.map(lambda a: np.asarray(a.ravel()[0]), o)
+
+        t0 = time.perf_counter()
+        sync(run(stacked))
+        print(f"{label:24s} compile+first {time.perf_counter()-t0:7.1f}s",
+              flush=True)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            sync(run(stacked))
+        ms = (time.perf_counter() - t0) / args.iters
+        per = (ms * 1e3 - 30.0) / B_N
+        print(f"{label:24s} {per:8.2f} ms/frame (net of dispatch)",
+              flush=True)
+        return per
+
+    want = set(args.stages.split(","))
+
+    def W(name):
+        return "all" in want or name in want
+
+    # precompute stage inputs once (host->device)
+    arms_l = ops.cross_arms(img_l, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd)
+    arms_r = ops.cross_arms(img_r, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd)
+    cost_l, cost_r = ci_adcensus_hwd(img_l, img_r, cfg.ad_coeff,
+                                     cfg.census_coeff, cfg.num_disp,
+                                     cfg.zero_disp)
+    acost_l, acost_r = B.cross_aggregate_band_lr(
+        cost_l, cost_r, arms_l, arms_r, cfg.band_nsplit, interp)
+    disp_l = (jnp.argmin(acost_l, 2) - cfg.zero_disp).astype(jnp.float32)
+    disp_r = (jnp.argmin(acost_r, 2) - cfg.zero_disp).astype(jnp.float32)
+    out_l, out_r = ops.dr_dcc(disp_l, disp_r, cfg.dcc_thresh,
+                              num_disp=cfg.num_disp, zero_disp=cfg.zero_disp)
+
+    if W("arms"):
+        timed("cross_arms x2", lambda l, r: (
+            ops.cross_arms(l, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd),
+            ops.cross_arms(r, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd)),
+            img_l, img_r)
+    if W("cost"):
+        timed("ci_adcensus_hwd", lambda l, r: ci_adcensus_hwd(
+            l, r, cfg.ad_coeff, cfg.census_coeff, cfg.num_disp,
+            cfg.zero_disp), img_l, img_r)
+    if W("agg"):
+        timed("cross_aggregate_lr", lambda cl, cr, al, ar:
+              B.cross_aggregate_band_lr(cl, cr, al, ar, cfg.band_nsplit,
+                                        interp),
+              cost_l, cost_r, arms_l, arms_r)
+    if W("wta"):
+        timed("wta argmin x2", lambda a, b: (
+            jnp.argmin(a, 2), jnp.argmin(b, 2)), acost_l, acost_r)
+    if W("dcc"):
+        timed("dr_dcc", lambda a, b: ops.dr_dcc(
+            a, b, cfg.dcc_thresh, num_disp=cfg.num_disp,
+            zero_disp=cfg.zero_disp), disp_l, disp_r)
+    if W("irv"):
+        timed(f"dr_irv_lr x{cfg.irv_iterations}",
+              lambda dl, ol, dr_, orr, al, ar: B.dr_irv_band_lr(
+                  dl, ol, dr_, orr, al, ar, cfg.irv_thresh_s,
+                  cfg.irv_thresh_h, cfg.num_disp, cfg.zero_disp, cfg.usd,
+                  cfg.irv_iterations, interp),
+              disp_l, out_l, disp_r, out_r, arms_l, arms_r)
+    if W("bilateral"):
+        timed("bilateral x2", lambda a, b: (
+            ops.filter_bilateral(a, cfg.bilateral_radius,
+                                 cfg.bilateral_sigma_color,
+                                 cfg.bilateral_sigma_spatial, cfg.num_disp),
+            ops.filter_bilateral(b, cfg.bilateral_radius,
+                                 cfg.bilateral_sigma_color,
+                                 cfg.bilateral_sigma_spatial, cfg.num_disp)),
+            disp_l, disp_r)
+    if W("synth"):
+        from stereo_to_multiview_tpu.models.pipeline import synthesize_views
+        timed(f"synthesize (V={cfg.num_views})",
+              lambda l, r, a, b: synthesize_views(l, r, a, b, cfg),
+              img_l, img_r, disp_l, disp_r)
+    if W("mux"):
+        from stereo_to_multiview_tpu.models.pipeline import synthesize_views
+        views = synthesize_views(img_l, img_r, disp_l, disp_r, cfg)
+        timed("mux_multiview", lambda v: ops.mux_multiview(
+            v, cfg.num_rows_out, cfg.num_cols_out, cfg.angle), views)
+    if W("full"):
+        from stereo_to_multiview_tpu.models.pipeline import process_frame
+        sbs = jnp.concatenate([img_l, img_r], axis=1)
+        timed("FULL process_frame", lambda s: process_frame(s, cfg), sbs)
+
+
+if __name__ == "__main__":
+    main()

@@ -57,17 +57,15 @@ def compute_disparities(img_l: jnp.ndarray, img_r: jnp.ndarray,
         arms_r = ops.cross_arms(img_r, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd)
 
     if band:
-        from stereo_to_multiview_tpu.ops.band import cross_aggregate_band
+        from stereo_to_multiview_tpu.ops.band import cross_aggregate_band_lr
         from stereo_to_multiview_tpu.ops.cost import ci_adcensus_hwd
         with stage_scope("ci_adcensus"):
             cost_l, cost_r = ci_adcensus_hwd(
                 img_l, img_r, cfg.ad_coeff, cfg.census_coeff,
                 cfg.num_disp, cfg.zero_disp)                 # (H, W, D)
         with stage_scope("ca_cross_aggregate"):
-            acost_l = cross_aggregate_band(cost_l, arms_l, cfg.band_nsplit,
-                                           interpret)
-            acost_r = cross_aggregate_band(cost_r, arms_r, cfg.band_nsplit,
-                                           interpret)
+            acost_l, acost_r = cross_aggregate_band_lr(
+                cost_l, cost_r, arms_l, arms_r, cfg.band_nsplit, interpret)
         if cfg.use_hslo:
             raise NotImplementedError(
                 "use_hslo requires engine='xla' (scanline DP is a "
@@ -103,17 +101,12 @@ def compute_disparities(img_l: jnp.ndarray, img_r: jnp.ndarray,
                                   zero_disp=cfg.zero_disp)
     with stage_scope("dr_irv"):
         if band:
-            from stereo_to_multiview_tpu.ops.band import dr_irv_band
-            disp_l, out_l = dr_irv_band(disp_l, out_l, arms_l,
-                                        cfg.irv_thresh_s, cfg.irv_thresh_h,
-                                        cfg.num_disp, cfg.zero_disp,
-                                        cfg.usd, cfg.irv_iterations,
-                                        interpret)
-            disp_r, out_r = dr_irv_band(disp_r, out_r, arms_r,
-                                        cfg.irv_thresh_s, cfg.irv_thresh_h,
-                                        cfg.num_disp, cfg.zero_disp,
-                                        cfg.usd, cfg.irv_iterations,
-                                        interpret)
+            from stereo_to_multiview_tpu.ops.band import dr_irv_band_lr
+            ((disp_l, out_l),
+             (disp_r, out_r)) = dr_irv_band_lr(
+                disp_l, out_l, disp_r, out_r, arms_l, arms_r,
+                cfg.irv_thresh_s, cfg.irv_thresh_h, cfg.num_disp,
+                cfg.zero_disp, cfg.usd, cfg.irv_iterations, interpret)
         else:
             disp_l, out_l = ops.dr_irv(disp_l, out_l, arms_l,
                                        cfg.irv_thresh_s, cfg.irv_thresh_h,

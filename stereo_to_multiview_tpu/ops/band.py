@@ -44,7 +44,9 @@ BF16 = jnp.bfloat16
 _LANE = 128  # output tile (sublanes of A) and window chunk size
 
 
-_ROWS = 8   # image rows per grid step (amortizes per-step grid overhead)
+_ROWS = 16  # image rows per grid step (amortizes per-step grid overhead;
+            # 3 chunks x (16,128,128) f32 double-buffered + out stays
+            # within VMEM at D=128)
 
 
 def _band_kernel(an_ref, ap_ref, vm1_ref, v0_ref, vp1_ref, out_ref,
@@ -162,7 +164,12 @@ def cross_aggregate_band(cost_hwd: jnp.ndarray, arms: jnp.ndarray,
                          interpret: bool = False) -> jnp.ndarray:
     """Four-pass cross aggregation (live order H,V,V,H, d_ca_cross.cu:
     255-271) on a (H, W, D) volume via the banded-MXU kernel.  Matches
-    ops.cross.cross_aggregate up to the bf16-split tolerance."""
+    ops.cross.cross_aggregate up to the bf16-split tolerance.
+
+    Both eyes can be stacked along H into one call (see
+    cross_aggregate_band_lr): arms stop at their own image border by
+    construction, so no window ever crosses the eye boundary.
+    """
     from stereo_to_multiview_tpu.ops.cross import UP, DOWN, LEFT, RIGHT
     a = band_span_sum_h(cost_hwd, arms[LEFT], arms[RIGHT],
                         nsplit=nsplit, interpret=interpret)
@@ -173,6 +180,32 @@ def cross_aggregate_band(cost_hwd: jnp.ndarray, arms: jnp.ndarray,
     a = band_span_sum_h(a, arms[LEFT], arms[RIGHT],
                         nsplit=nsplit, interpret=interpret)
     return a
+
+
+def cross_aggregate_band_lr(cost_l, cost_r, arms_l, arms_r,
+                            nsplit: int = 2, interpret: bool = False):
+    """Aggregate both eyes in one four-pass sequence by stacking the
+    volumes along H -- halves the kernel-call count (same FLOPs, less
+    per-call/grid fixed cost)."""
+    h = cost_l.shape[0]
+    cost = jnp.concatenate([cost_l, cost_r], axis=0)
+    arms = jnp.concatenate([arms_l, arms_r], axis=1)
+    a = cross_aggregate_band(cost, arms, nsplit=nsplit, interpret=interpret)
+    return a[:h], a[h:]
+
+
+def dr_irv_band_lr(disp_l, outl_l, disp_r, outl_r, arms_l, arms_r,
+                   thresh_s, thresh_h, num_disp, zero_disp, usd, iterations,
+                   interpret: bool = False):
+    """dr_irv_band on both eyes stacked along H (see
+    cross_aggregate_band_lr for why stacking is sound)."""
+    h = disp_l.shape[0]
+    disp = jnp.concatenate([disp_l, disp_r], axis=0)
+    outl = jnp.concatenate([outl_l, outl_r], axis=0)
+    arms = jnp.concatenate([arms_l, arms_r], axis=1)
+    d, o = dr_irv_band(disp, outl, arms, thresh_s, thresh_h, num_disp,
+                       zero_disp, usd, iterations, interpret)
+    return (d[:h], o[:h]), (d[h:], o[h:])
 
 
 def dr_irv_band(disp: jnp.ndarray, outliers: jnp.ndarray, arms: jnp.ndarray,
