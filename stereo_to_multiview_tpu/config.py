@@ -69,6 +69,9 @@ class PipelineConfig:
     band_nsplit: int = 2         # bf16 split terms for float band matmuls
                                  # (2 ~ 1e-5 rel err, 3 ~ f32; IRV is exact
                                  # regardless)
+    band_row_chunk: int = 288    # stereo-core rows per streamed chunk (the
+                                 # (H, W, D) volume never fully materializes
+                                 # in HBM); 0 = whole frame at once
 
     # --- optional stages ---
     use_hslo: bool = False       # real scanline optimization (reference stub

@@ -57,24 +57,16 @@ def compute_disparities(img_l: jnp.ndarray, img_r: jnp.ndarray,
         arms_r = ops.cross_arms(img_r, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd)
 
     if band:
-        from stereo_to_multiview_tpu.ops.band import cross_aggregate_band_lr
-        from stereo_to_multiview_tpu.ops.cost import ci_adcensus_hwd
-        with stage_scope("ci_adcensus"):
-            cost_l, cost_r = ci_adcensus_hwd(
-                img_l, img_r, cfg.ad_coeff, cfg.census_coeff,
-                cfg.num_disp, cfg.zero_disp)                 # (H, W, D)
-        with stage_scope("ca_cross_aggregate"):
-            acost_l, acost_r = cross_aggregate_band_lr(
-                cost_l, cost_r, arms_l, arms_r, cfg.band_nsplit, interpret)
+        from stereo_to_multiview_tpu.ops.band import band_stereo_core_chunked
         if cfg.use_hslo:
             raise NotImplementedError(
                 "use_hslo requires engine='xla' (scanline DP is a "
                 "lax.scan, not a band kernel)")
-        with stage_scope("dc_wta"):
-            disp_l = (jnp.argmin(acost_l, axis=2)
-                      - cfg.zero_disp).astype(jnp.float32)   # first min
-            disp_r = (jnp.argmin(acost_r, axis=2)
-                      - cfg.zero_disp).astype(jnp.float32)
+        with stage_scope("stereo_core"):
+            # cost init + aggregation + WTA, streamed over row chunks so
+            # the (H, W, D) volume never fully materializes in HBM
+            disp_l, disp_r = band_stereo_core_chunked(
+                img_l, img_r, arms_l, arms_r, cfg, interpret)
     else:
         cost_l, cost_r = ops.ci_adcensus(
             img_l, img_r, cfg.ad_coeff, cfg.census_coeff,
@@ -101,12 +93,11 @@ def compute_disparities(img_l: jnp.ndarray, img_r: jnp.ndarray,
                                   zero_disp=cfg.zero_disp)
     with stage_scope("dr_irv"):
         if band:
-            from stereo_to_multiview_tpu.ops.band import dr_irv_band_lr
+            from stereo_to_multiview_tpu.ops.band import dr_irv_band_chunked
             ((disp_l, out_l),
-             (disp_r, out_r)) = dr_irv_band_lr(
-                disp_l, out_l, disp_r, out_r, arms_l, arms_r,
-                cfg.irv_thresh_s, cfg.irv_thresh_h, cfg.num_disp,
-                cfg.zero_disp, cfg.usd, cfg.irv_iterations, interpret)
+             (disp_r, out_r)) = dr_irv_band_chunked(
+                disp_l, out_l, disp_r, out_r, arms_l, arms_r, cfg,
+                interpret)
         else:
             disp_l, out_l = ops.dr_irv(disp_l, out_l, arms_l,
                                        cfg.irv_thresh_s, cfg.irv_thresh_h,

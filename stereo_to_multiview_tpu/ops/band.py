@@ -208,6 +208,113 @@ def dr_irv_band_lr(disp_l, outl_l, disp_r, outl_r, arms_l, arms_r,
     return (d[:h], o[:h]), (d[h:], o[h:])
 
 
+# ---------------------------------------------------------------------------
+# Row-chunked stereo core: HBM-bounded processing of the (H, W, D) volume.
+#
+# At 1080p / D=128 a cost volume is ~1 GB per eye and the aggregate
+# sequence keeps 2-3 of them live -- enough to exhaust (or thrash) device
+# memory.  The whole stereo core is per-d independent and its vertical
+# reach is bounded (2*usd for the two V passes, usd per IRV round), so the
+# frame is processed in row chunks with recomputed halos -- the same halo
+# arithmetic parallel.halo uses across chips, applied serially on one chip.
+# The full-resolution cost volume never exists in HBM.
+# ---------------------------------------------------------------------------
+
+
+def _chunk_bounds(h: int, chunk: int, halo: int):
+    """Uniform-size extended slices [(start, lo_off)] covering [0, h) in
+    `chunk`-row steps: ext row range [start, start + chunk + 2*halo) with
+    start clamped to the image, lo_off = where the chunk's first valid row
+    sits inside the ext slice.  Uniform sizes keep one compiled kernel
+    shape for every chunk."""
+    ext = min(h, chunk + 2 * halo)
+    out = []
+    for c0 in range(0, h, chunk):
+        start = min(max(0, c0 - halo), h - ext)
+        out.append((start, c0 - start))
+    return ext, out
+
+
+def band_stereo_core_chunked(img_l, img_r, arms_l, arms_r, cfg,
+                             interpret: bool = False):
+    """Cost init + 4-pass aggregation + WTA for both eyes, streamed over
+    row chunks of cfg.band_row_chunk output rows.  Exact: each chunk's
+    halo (2*usd for the V passes, +3 rows of image for the census window)
+    is recomputed from the real neighboring rows.
+
+    Returns (disp_l, disp_r) float32.
+    """
+    from stereo_to_multiview_tpu.ops.cost import ci_adcensus_hwd
+
+    h = img_l.shape[0]
+    usd = cfg.usd
+    chunk = cfg.band_row_chunk or h
+    halo = 2 * usd
+    ext, bounds = _chunk_bounds(h, chunk, halo)
+
+    disp_parts_l, disp_parts_r = [], []
+    for start, lo in bounds:
+        # image slice with +-3 census margin (clamped at true borders)
+        i0, i1 = max(0, start - 3), min(h, start + ext + 3)
+        sl_img = slice(i0, i1)
+        c_lo = start - i0                  # cost rows inside the img slice
+        cost_l, cost_r = ci_adcensus_hwd(
+            img_l[sl_img], img_r[sl_img], cfg.ad_coeff, cfg.census_coeff,
+            cfg.num_disp, cfg.zero_disp)
+        cost_l = cost_l[c_lo:c_lo + ext]
+        cost_r = cost_r[c_lo:c_lo + ext]
+
+        sl = slice(start, start + ext)
+        a_l, a_r = cross_aggregate_band_lr(
+            cost_l, cost_r, arms_l[:, sl], arms_r[:, sl],
+            cfg.band_nsplit, interpret)
+        n_valid = min(chunk, h - (start + lo))
+        v = slice(lo, lo + n_valid)
+        disp_parts_l.append(
+            (jnp.argmin(a_l[v], axis=2) - cfg.zero_disp).astype(F32))
+        disp_parts_r.append(
+            (jnp.argmin(a_r[v], axis=2) - cfg.zero_disp).astype(F32))
+    if len(disp_parts_l) == 1:
+        return disp_parts_l[0], disp_parts_r[0]
+    return (jnp.concatenate(disp_parts_l, axis=0),
+            jnp.concatenate(disp_parts_r, axis=0))
+
+
+def dr_irv_band_chunked(disp_l, outl_l, disp_r, outl_r, arms_l, arms_r,
+                        cfg, interpret: bool = False):
+    """IRV with each synchronous round streamed over row chunks (vertical
+    vote reach = usd).  Semantics identical to dr_irv_band_lr: every round
+    reads the full previous-round disparity/outlier state."""
+    h = disp_l.shape[0]
+    usd = cfg.usd
+    chunk = cfg.band_row_chunk or h
+    ext, bounds = _chunk_bounds(h, chunk, usd)
+
+    def one_round(state):
+        dl, ol, dr_, orr = state
+        parts = []
+        for start, lo in bounds:
+            sl = slice(start, start + ext)
+            (ndl, nol), (ndr, nor) = dr_irv_band_lr(
+                dl[sl], ol[sl], dr_[sl], orr[sl],
+                arms_l[:, sl], arms_r[:, sl],
+                cfg.irv_thresh_s, cfg.irv_thresh_h, cfg.num_disp,
+                cfg.zero_disp, usd, 1, interpret)
+            n_valid = min(chunk, h - (start + lo))
+            v = slice(lo, lo + n_valid)
+            parts.append((ndl[v], nol[v], ndr[v], nor[v]))
+        if len(parts) == 1:
+            return parts[0]
+        return tuple(jnp.concatenate([p[i] for p in parts], axis=0)
+                     for i in range(4))
+
+    state = (disp_l, outl_l, disp_r, outl_r)
+    for _ in range(cfg.irv_iterations):
+        state = one_round(state)
+    dl, ol, dr_, orr = state
+    return (dl, ol), (dr_, orr)
+
+
 def dr_irv_band(disp: jnp.ndarray, outliers: jnp.ndarray, arms: jnp.ndarray,
                 thresh_s: int, thresh_h: float, num_disp: int,
                 zero_disp: int, usd: int, iterations: int,

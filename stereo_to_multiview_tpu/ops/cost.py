@@ -124,28 +124,9 @@ def ci_adcensus_hwd(img_l: jnp.ndarray, img_r: jnp.ndarray, ad_coeff: float,
                     census_coeff: float, num_disp: int, zero_disp: int):
     """Cost init in (H, W, D) layout -- D riding the TPU lane dimension,
     the layout the banded-MXU aggregation kernel consumes.  Identical
-    values to ci_adcensus (which is (D, H, W))."""
-    from stereo_to_multiview_tpu.ops.mux import mux_average
-
-    third = F32(0.33333333333)
-    li = img_l.astype(jnp.int32)
-    ri = img_r.astype(jnp.int32)
-    cen_l = census_transform_9x7(mux_average(img_l))
-    cen_r = census_transform_9x7(mux_average(img_r))
-
-    def one_eye(me_img, other_img, me_cen, other_cen, sign):
-        ad_planes = []
-        cc_planes = []
-        for d in range(num_disp):
-            sh = sign * (d - zero_disp)
-            o_img = shiftops.shift(other_img, 1, sh)
-            ad_planes.append(
-                jnp.abs(me_img - o_img).astype(F32).sum(-1) * third)
-            o_cen = shiftops.shift(other_cen, 1, sh)
-            cc_planes.append(hamming48(me_cen, o_cen).astype(F32))
-        ad = jnp.stack(ad_planes, axis=-1)     # (H, W, D)
-        cc = jnp.stack(cc_planes, axis=-1)
-        return ci_adcensus_combine(ad, cc, ad_coeff, census_coeff)
-
-    return (one_eye(li, ri, cen_l, cen_r, +1),
-            one_eye(ri, li, cen_r, cen_l, -1))
+    values to ci_adcensus (which is (D, H, W)); built disparity-major
+    (contiguous concat) and re-laid-out with one tiled transpose, which
+    XLA does far faster than D minor-axis interleaving concats."""
+    cost_l, cost_r = ci_adcensus(img_l, img_r, ad_coeff, census_coeff,
+                                 num_disp, zero_disp)
+    return jnp.moveaxis(cost_l, 0, 2), jnp.moveaxis(cost_r, 0, 2)

@@ -52,8 +52,12 @@ def _arm_length(img_i32: jnp.ndarray, dy: int, dx: int,
     axis = 0 if dy else 1
     step = dy if dy else dx
 
-    oks = []        # no color failure at offset k (computed on clamped reads)
-    inb = []        # offset k is in bounds
+    # Sequential accumulation: arm_k contributes iff offset k is in bounds
+    # and no color test failed at any offset j < k.  Running the prefix-AND
+    # as a carried scalar mask keeps everything a single fused elementwise
+    # chain over (H, W) -- no (usd, H, W) stack / cumprod materialization.
+    arm = jnp.zeros((h, w), jnp.int32)
+    no_fail_before = jnp.ones((h, w), bool)
     prev = anchor
     for k in range(1, usd + 1):
         cur = shiftops.shift(img_i32, axis, step * k)
@@ -63,22 +67,16 @@ def _arm_length(img_i32: jnp.ndarray, dy: int, dx: int,
             fail = (ac > F32(lcd)) | (cp > F32(lcd))
         else:
             fail = ac > F32(ucd)
-        oks.append(~fail)
         if dy:
             in_b = (g_ys + dy * k >= 0) & (g_ys + dy * k <= g_h - 1)
-            inb.append(jnp.broadcast_to(in_b[:, None], (h, w)))
+            in_b = in_b[:, None]
         else:
             in_b = (xs + dx * k >= 0) & (xs + dx * k <= w - 1)
-            inb.append(jnp.broadcast_to(in_b[None, :], (h, w)))
+            in_b = in_b[None, :]
+        arm = arm + jnp.where(in_b & no_fail_before, 1, 0)
+        no_fail_before = no_fail_before & ~fail
         prev = cur
-
-    ok = jnp.stack(oks)                       # (usd, H, W)
-    in_bounds = jnp.stack(inb)
-    # no color failure strictly before offset k  ==  prefix-AND shifted by 1
-    no_fail_before = jnp.cumprod(
-        jnp.concatenate([jnp.ones((1, h, w), bool), ok[:-1]]), axis=0,
-        dtype=jnp.int32).astype(bool)
-    return (in_bounds & no_fail_before).astype(jnp.int32).sum(axis=0)
+    return arm
 
 
 def cross_arms(img: jnp.ndarray, ucd: float, lcd: float,

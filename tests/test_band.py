@@ -109,6 +109,44 @@ def test_ci_adcensus_hwd_matches_dhw(stereo_pair):
     np.testing.assert_array_equal(_np(jnp.moveaxis(b, 0, 2)), _np(b2))
 
 
+def test_chunked_core_matches_unchunked(stereo_pair):
+    """Row-chunked stereo core vs whole-frame: IRV is exact; aggregation
+    differs only in MXU accumulation grouping at chunk boundaries, so
+    disparities may flip on exact near-ties (rare)."""
+    from stereo_to_multiview_tpu.config import PipelineConfig
+    from stereo_to_multiview_tpu.ops.band import (
+        band_stereo_core_chunked, dr_irv_band_chunked, dr_irv_band_lr)
+    left, right = stereo_pair
+    h, w = left.shape[:2]
+    base = dict(num_rows=h, num_cols=w, num_rows_out=h, num_cols_out=w,
+                num_disp=12, zero_disp=6, usd=5, lsd=2, irv_iterations=2,
+                irv_thresh_s=5, irv_thresh_h=0.4, num_views=4,
+                band_nsplit=3)
+    cfg_whole = PipelineConfig(engine="band", band_row_chunk=0, **base)
+    cfg_chunk = PipelineConfig(engine="band", band_row_chunk=8, **base)
+    l, r = jnp.asarray(left), jnp.asarray(right)
+    arms_l = ops.cross_arms(l, 6.0, 20.0, 5, 2)
+    arms_r = ops.cross_arms(r, 6.0, 20.0, 5, 2)
+
+    dwl, dwr = band_stereo_core_chunked(l, r, arms_l, arms_r, cfg_whole,
+                                        interpret=True)
+    dcl, dcr = band_stereo_core_chunked(l, r, arms_l, arms_r, cfg_chunk,
+                                        interpret=True)
+    assert np.mean(_np(dwl) != _np(dcl)) < 0.02
+    assert np.mean(_np(dwr) != _np(dcr)) < 0.02
+
+    rng2 = np.random.default_rng(5)
+    outl = jnp.asarray((rng2.random((h, w)) < 0.4).astype(np.uint8))
+    outr = jnp.asarray((rng2.random((h, w)) < 0.4).astype(np.uint8))
+    ref = dr_irv_band_lr(dwl, outl, dwr, outr, arms_l, arms_r, 5, 0.4,
+                         12, 6, 5, 2, interpret=True)
+    got = dr_irv_band_chunked(dwl, outl, dwr, outr, arms_l, arms_r,
+                              cfg_chunk, interpret=True)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(_np(a[0]), _np(b[0]))
+        np.testing.assert_array_equal(_np(a[1]), _np(b[1]))
+
+
 def test_band_engine_pipeline_close(stereo_pair):
     """Full compute_disparities: band engine vs xla engine."""
     from stereo_to_multiview_tpu.config import PipelineConfig
