@@ -24,7 +24,7 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--stages", default="all",
-                    help="comma list: cost,agg,wta,dcc,irv,bilateral,"
+                    help="comma list: core,dcc,irv,bilateral,"
                          "arms,synth,mux,full")
     args = ap.parse_args()
 
@@ -36,7 +36,6 @@ def main():
     from stereo_to_multiview_tpu.config import PipelineConfig
     from stereo_to_multiview_tpu import ops
     from stereo_to_multiview_tpu.ops import band as B
-    from stereo_to_multiview_tpu.ops.cost import ci_adcensus_hwd
 
     cfg = PipelineConfig(num_rows=args.rows, num_cols=args.cols,
                          num_rows_out=args.rows, num_cols_out=args.cols,
@@ -79,46 +78,40 @@ def main():
     def W(name):
         return "all" in want or name in want
 
-    # precompute stage inputs once (host->device)
-    arms_l = ops.cross_arms(img_l, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd)
-    arms_r = ops.cross_arms(img_r, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd)
-    cost_l, cost_r = ci_adcensus_hwd(img_l, img_r, cfg.ad_coeff,
-                                     cfg.census_coeff, cfg.num_disp,
-                                     cfg.zero_disp)
-    acost_l, acost_r = B.cross_aggregate_band_lr(
-        cost_l, cost_r, arms_l, arms_r, cfg.band_nsplit, interp)
-    disp_l = (jnp.argmin(acost_l, 2) - cfg.zero_disp).astype(jnp.float32)
-    disp_r = (jnp.argmin(acost_r, 2) - cfg.zero_disp).astype(jnp.float32)
-    out_l, out_r = ops.dr_dcc(disp_l, disp_r, cfg.dcc_thresh,
-                              num_disp=cfg.num_disp, zero_disp=cfg.zero_disp)
+    # precompute stage inputs once (host->device), in ONE jitted graph --
+    # eager mode would pay the relay's ~30 ms floor per op
+    @jax.jit
+    def _pre(l, r):
+        al = ops.cross_arms(l, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd)
+        ar = ops.cross_arms(r, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd)
+        dl, dr_ = B.band_stereo_core_chunked(l, r, al, ar, cfg, interp)
+        ol, orr = ops.dr_dcc(dl, dr_, cfg.dcc_thresh,
+                             num_disp=cfg.num_disp, zero_disp=cfg.zero_disp)
+        return al, ar, dl, dr_, ol, orr
+
+    t0 = time.perf_counter()
+    arms_l, arms_r, disp_l, disp_r, out_l, out_r = _pre(img_l, img_r)
+    jax.tree.map(lambda a: np.asarray(a.ravel()[0]),
+                 (arms_l, disp_l, out_l))
+    print(f"precompute {time.perf_counter()-t0:.1f}s", flush=True)
 
     if W("arms"):
         timed("cross_arms x2", lambda l, r: (
             ops.cross_arms(l, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd),
             ops.cross_arms(r, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd)),
             img_l, img_r)
-    if W("cost"):
-        timed("ci_adcensus_hwd", lambda l, r: ci_adcensus_hwd(
-            l, r, cfg.ad_coeff, cfg.census_coeff, cfg.num_disp,
-            cfg.zero_disp), img_l, img_r)
-    if W("agg"):
-        timed("cross_aggregate_lr", lambda cl, cr, al, ar:
-              B.cross_aggregate_band_lr(cl, cr, al, ar, cfg.band_nsplit,
-                                        interp),
-              cost_l, cost_r, arms_l, arms_r)
-    if W("wta"):
-        timed("wta argmin x2", lambda a, b: (
-            jnp.argmin(a, 2), jnp.argmin(b, 2)), acost_l, acost_r)
+    if W("core"):
+        timed("stereo_core_chunked", lambda l, r, al, ar:
+              B.band_stereo_core_chunked(l, r, al, ar, cfg, interp),
+              img_l, img_r, arms_l, arms_r)
     if W("dcc"):
         timed("dr_dcc", lambda a, b: ops.dr_dcc(
             a, b, cfg.dcc_thresh, num_disp=cfg.num_disp,
             zero_disp=cfg.zero_disp), disp_l, disp_r)
     if W("irv"):
-        timed(f"dr_irv_lr x{cfg.irv_iterations}",
-              lambda dl, ol, dr_, orr, al, ar: B.dr_irv_band_lr(
-                  dl, ol, dr_, orr, al, ar, cfg.irv_thresh_s,
-                  cfg.irv_thresh_h, cfg.num_disp, cfg.zero_disp, cfg.usd,
-                  cfg.irv_iterations, interp),
+        timed(f"dr_irv_chunked x{cfg.irv_iterations}",
+              lambda dl, ol, dr_, orr, al, ar: B.dr_irv_band_chunked(
+                  dl, ol, dr_, orr, al, ar, cfg, interp),
               disp_l, out_l, disp_r, out_r, arms_l, arms_r)
     if W("bilateral"):
         timed("bilateral x2", lambda a, b: (

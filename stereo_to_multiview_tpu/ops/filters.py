@@ -60,12 +60,17 @@ def filter_bilateral(img: jnp.ndarray, radius: int, sigma_color: float,
                      sigma_spatial: float, num_disp: int) -> jnp.ndarray:
     """Edge-preserving smoothing of the float disparity map.
 
-    Spatial weight from a precomputed 2D Gaussian; range weight from a 1D
-    LUT of length num_disp indexed by trunc(|center - sample|)
-    (d_filter_bilateral.cu:222-304, LUT built at :542-544).  Clamp-to-edge.
+    Spatial weight from a precomputed 2D Gaussian; range weight from the
+    1D Gaussian evaluated at trunc(|center - sample|)
+    (d_filter_bilateral.cu:222-304; the reference reads a LUT built at
+    :542-544 -- a data-dependent LUT read is a gather, pathological on
+    TPU, so the Gaussian is evaluated directly on the truncated index:
+    identical values up to exp rounding).  Clamp-to-edge.
     """
     sk = gaussian_kernel_2d(radius, sigma_spatial)
-    lut = jnp.asarray(gaussian_lut_1d(num_disp, sigma_color))
+    var = np.float32(sigma_color) ** 2
+    lut_scale = F32(1.0 / float(np.sqrt(2 * np.pi * var)))
+    inv_2var = F32(1.0 / (2.0 * float(var)))
     h, w = img.shape
     a = img.astype(F32)
     p = _edge_pad(a, radius)
@@ -74,8 +79,9 @@ def filter_bilateral(img: jnp.ndarray, radius: int, sigma_color: float,
     for dy in range(-radius, radius + 1):
         for dx in range(-radius, radius + 1):
             s = p[dy + radius:dy + radius + h, dx + radius:dx + radius + w]
-            idx = jnp.abs(a - s).astype(jnp.int32)
-            wgt = F32(sk[dy + radius, dx + radius]) * lut[idx]
+            t = jnp.floor(jnp.abs(a - s))          # == the LUT index
+            rw = jnp.exp(-(t * t) * inv_2var) * lut_scale
+            wgt = F32(sk[dy + radius, dx + radius]) * rw
             num = num + wgt * s
             den = den + wgt
     return num / den
