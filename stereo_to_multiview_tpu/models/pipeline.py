@@ -146,6 +146,8 @@ def synthesize_views(img_l, img_r, disp_l, disp_r, cfg: PipelineConfig):
         feathered = ops.dibr.dibr_feather_mask(
             mask_r, cfg.feather_radius, cfg.feather_sigma)
 
+    band = _use_band(cfg)
+    interpret = jax.default_backend() == "cpu"
     v = cfg.num_views
     mids = []
     with stage_scope("dibr_dbm"):
@@ -156,11 +158,21 @@ def synthesize_views(img_l, img_r, disp_l, disp_r, cfg: PipelineConfig):
             import numpy as np
             shift = float(np.float32(1.0)
                           - np.float32(v_i) / np.float32(v - 1.0))
-            view_from_l = dibr_backward_warp(img_l, mask_r, disp_r, -shift,
-                                             cfg.num_disp, cfg.zero_disp)
-            view_from_r = dibr_backward_warp(img_r, mask_l, disp_l,
-                                             1.0 - shift,
-                                             cfg.num_disp, cfg.zero_disp)
+            if band:
+                from stereo_to_multiview_tpu.ops.warpkern import (
+                    dibr_warp_pair_kern)
+                va, vb = dibr_warp_pair_kern(img_l, img_r, disp_l, disp_r,
+                                             shift, cfg.num_disp,
+                                             cfg.zero_disp, interpret)
+                view_from_l = (va * mask_r[:, :, None]).astype(jnp.uint8)
+                view_from_r = (vb * mask_l[:, :, None]).astype(jnp.uint8)
+            else:
+                view_from_l = dibr_backward_warp(
+                    img_l, mask_r, disp_r, -shift,
+                    cfg.num_disp, cfg.zero_disp)
+                view_from_r = dibr_backward_warp(
+                    img_r, mask_l, disp_l, 1.0 - shift,
+                    cfg.num_disp, cfg.zero_disp)
             mids.append(mux_merge_ab(view_from_l, view_from_r, feathered))
 
     if v > 2:

@@ -244,7 +244,7 @@ def band_stereo_core_chunked(img_l, img_r, arms_l, arms_r, cfg,
 
     Returns (disp_l, disp_r) float32.
     """
-    from stereo_to_multiview_tpu.ops.cost import ci_adcensus_hwd
+    from stereo_to_multiview_tpu.ops.costkern import ci_adcensus_kern
 
     h = img_l.shape[0]
     usd = cfg.usd
@@ -258,9 +258,9 @@ def band_stereo_core_chunked(img_l, img_r, arms_l, arms_r, cfg,
         i0, i1 = max(0, start - 3), min(h, start + ext + 3)
         sl_img = slice(i0, i1)
         c_lo = start - i0                  # cost rows inside the img slice
-        cost_l, cost_r = ci_adcensus_hwd(
+        cost_l, cost_r = ci_adcensus_kern(
             img_l[sl_img], img_r[sl_img], cfg.ad_coeff, cfg.census_coeff,
-            cfg.num_disp, cfg.zero_disp)
+            cfg.num_disp, cfg.zero_disp, interpret=interpret)
         cost_l = cost_l[c_lo:c_lo + ext]
         cost_r = cost_r[c_lo:c_lo + ext]
 

@@ -1,0 +1,173 @@
+"""Pallas TPU kernel for AD-census cost initialization, both eyes.
+
+The XLA formulation (128 shifted pad+slice planes concatenated into a
+volume) defeats fusion and measured ~30x off roofline at 1080p.  This
+kernel streams (8-row x 128-column) tiles: row-resident padded image /
+census planes are sliced per disparity with *static* lane rolls, the
+per-d (8, 128x) cost rows accumulate in a VMEM scratch, and eight
+128x128 transposes emit the (x, d) tile layout the banded-MXU
+aggregation kernel consumes.  Output matches ops.cost.ci_adcensus_hwd up
+to exp rounding (the AD/census/Hamming arithmetic is integer-exact).
+
+Reference semantics: d_ci_ad.cu:73-159, d_ci_census.cu:197-254,
+d_ci_adcensus.cu:10-36 -- clamp-to-edge reads (pre-baked into the
+128-column edge padding), cost_l(x, d) pairs L(x) with R(x + d - zd),
+cost_r pairs R(x) with L(x - (d - zd)).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F32 = jnp.float32
+_LANE = 128
+_ROWS = 8
+_PAD = 128      # edge padding columns on each side of every plane
+
+
+def _popcount(x: jnp.ndarray) -> jnp.ndarray:
+    """SWAR popcount on int32 (jax.lax.population_count is not lowered by
+    Mosaic on all targets)."""
+    x = x - ((x >> 1) & 0x55555555)
+    x = (x & 0x33333333) + ((x >> 2) & 0x33333333)
+    x = (x + (x >> 4)) & 0x0F0F0F0F
+    return (x * 0x01010101) >> 24
+
+
+def _window(chunks, lo: int):
+    """128-lane window starting at static offset `lo` within the 384-lane
+    span of three consecutive chunks (each (8, 128))."""
+    k = lo // _LANE
+    r = lo % _LANE
+    a, b = chunks[k], chunks[min(k + 1, 2)]
+    if r == 0:
+        return a
+    # left-shift by r == circular roll right by 128 - r on both operands
+    rolled_a = pltpu.roll(a, _LANE - r, axis=1)
+    rolled_b = pltpu.roll(b, _LANE - r, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _LANE), 1)
+    return jnp.where(lane < _LANE - r, rolled_a, rolled_b)
+
+
+def _cost_kernel(lb, lg, lr, rb, rg, rr, clw0, clw1, crw0, crw1,
+                 out_l, out_r, scratch_l, scratch_r,
+                 *, num_disp: int, zero_disp: int,
+                 inv_ad: float, inv_cen: float):
+    """One (8-row, 128-column) step.  Plane refs are (8, W + 256) i32,
+    row-block resident; out refs are (8, 128, D) f32."""
+    s = pl.program_id(1)
+    base = pl.multiple_of(s * _LANE, _LANE)
+
+    def chunks(ref):
+        return [ref[:, pl.ds(base + k * _LANE, _LANE)] for k in range(3)]
+
+    l_ch = [chunks(r_) for r_ in (lb, lg, lr)]     # left image channels
+    r_ch = [chunks(r_) for r_ in (rb, rg, rr)]
+    cl_ch = [chunks(r_) for r_ in (clw0, clw1)]    # left census words
+    cr_ch = [chunks(r_) for r_ in (crw0, crw1)]
+
+    # own-eye center values, (8, 128) lane-x
+    l_own = [c[1] for c in l_ch]
+    r_own = [c[1] for c in r_ch]
+    cl_own = [c[1] for c in cl_ch]
+    cr_own = [c[1] for c in cr_ch]
+
+    third = F32(0.33333333333)
+    for d in range(num_disp):
+        # left eye: other-eye (R) window at x + (d - zero_disp);
+        # padded-plane lane offset = 128 + (d - zero_disp)
+        off_l = _PAD + d - zero_disp
+        ad = jnp.zeros((_ROWS, _LANE), jnp.int32)
+        for c in range(3):
+            ad = ad + jnp.abs(l_own[c] - _window(r_ch[c], off_l))
+        ham = (_popcount(cl_own[0] ^ _window(cr_ch[0], off_l))
+               + _popcount(cl_own[1] ^ _window(cr_ch[1], off_l)))
+        cost = ((F32(1.0) - jnp.exp(-(ad.astype(F32) * third) * inv_ad))
+                + (F32(1.0) - jnp.exp(-ham.astype(F32) * inv_cen)))
+        scratch_l[d] = cost
+
+        # right eye: other-eye (L) window at x - (d - zero_disp)
+        off_r = _PAD - (d - zero_disp)
+        ad = jnp.zeros((_ROWS, _LANE), jnp.int32)
+        for c in range(3):
+            ad = ad + jnp.abs(r_own[c] - _window(l_ch[c], off_r))
+        ham = (_popcount(cr_own[0] ^ _window(cl_ch[0], off_r))
+               + _popcount(cr_own[1] ^ _window(cl_ch[1], off_r)))
+        cost = ((F32(1.0) - jnp.exp(-(ad.astype(F32) * third) * inv_ad))
+                + (F32(1.0) - jnp.exp(-ham.astype(F32) * inv_cen)))
+        scratch_r[d] = cost
+
+    # (D, 8, 128x) scratch -> (8, 128x, D) output: 8 transposes per eye
+    for r in range(_ROWS):
+        out_l[r] = scratch_l[:, r, :].T
+        out_r[r] = scratch_r[:, r, :].T
+
+
+@functools.partial(jax.jit, static_argnames=("num_disp", "zero_disp",
+                                             "ad_coeff", "census_coeff",
+                                             "interpret"))
+def ci_adcensus_kern(img_l: jnp.ndarray, img_r: jnp.ndarray,
+                     ad_coeff: float, census_coeff: float,
+                     num_disp: int, zero_disp: int,
+                     interpret: bool = False):
+    """(H, W, 3) u8 pair -> ((H, W, D), (H, W, D)) f32 cost volumes.
+
+    Requires num_disp <= 128 and zero_disp <= 128 (one neighbor chunk of
+    reach on each side).
+    """
+    from stereo_to_multiview_tpu.ops.cost import census_transform_9x7
+    from stereo_to_multiview_tpu.ops.mux import mux_average
+
+    if num_disp > 128 or zero_disp > 128:
+        raise ValueError("ci_adcensus_kern supports num_disp/zero_disp "
+                         "<= 128")
+    h, w = img_l.shape[:2]
+    hp = -(-h // _ROWS) * _ROWS
+    wp = -(-w // _LANE) * _LANE
+
+    cen_l = census_transform_9x7(mux_average(img_l))
+    cen_r = census_transform_9x7(mux_average(img_r))
+
+    def planes(img, cen):
+        ps = [img[:, :, c].astype(jnp.int32) for c in range(3)]
+        ps += [cen[:, :, k].astype(jnp.int32) for k in range(2)]
+        out = []
+        for p in ps:
+            p = jnp.pad(p, ((0, hp - h), (0, 0)), mode="edge")
+            p = jnp.pad(p, ((0, 0), (_PAD, _PAD + wp - w)), mode="edge")
+            out.append(p)
+        return out
+
+    pls = planes(img_l, cen_l) + planes(img_r, cen_r)
+    # order for the kernel: l b/g/r, r b/g/r, cl w0/w1, cr w0/w1
+    args = [pls[0], pls[1], pls[2], pls[5], pls[6], pls[7],
+            pls[3], pls[4], pls[8], pls[9]]
+
+    grid = (hp // _ROWS, wp // _LANE)
+    plane_spec = pl.BlockSpec((_ROWS, w + 2 * _PAD + (wp - w)),
+                              lambda y, s: (y, 0),
+                              memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((_ROWS, _LANE, num_disp),
+                            lambda y, s: (y, s, 0),
+                            memory_space=pltpu.VMEM)
+
+    out_l, out_r = pl.pallas_call(
+        functools.partial(_cost_kernel, num_disp=num_disp,
+                          zero_disp=zero_disp,
+                          inv_ad=float(1.0 / ad_coeff),
+                          inv_cen=float(1.0 / census_coeff)),
+        grid=grid,
+        in_specs=[plane_spec] * 10,
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((hp, wp, num_disp), jnp.float32),
+                   jax.ShapeDtypeStruct((hp, wp, num_disp), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((num_disp, _ROWS, _LANE), jnp.float32),
+                        pltpu.VMEM((num_disp, _ROWS, _LANE), jnp.float32)],
+        interpret=interpret,
+    )(*args)
+    return out_l[:h, :w], out_r[:h, :w]

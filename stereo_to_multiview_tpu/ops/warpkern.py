@@ -1,0 +1,149 @@
+"""Pallas TPU kernel for the DIBR backward (gather) warp.
+
+The XLA select-shift formulation materializes intermediates across the
+~2*dmax-term chain and measured far off roofline at 1080p.  Here each
+(8-row, 128-column) tile keeps the row-resident padded image planes in
+VMEM and resolves the per-pixel sample with a select chain over static
+lane rolls; both directional warps of one view run in a single call.
+
+Semantics match ops.dibr.dibr_backward_warp exactly (d_dibr_bwarp.cu:
+5-22): sample at clamp(x + disp*shift, 0, w-1), x-only bilinear
+interpolation, truncation to u8 (the mask multiply + second truncation
+stay outside -- they are cheap elementwise XLA).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F32 = jnp.float32
+_LANE = 128
+_ROWS = 8
+_PAD = 128
+
+
+def _window(chunks, lo: int):
+    k = lo // _LANE
+    r = lo % _LANE
+    a, b = chunks[k], chunks[min(k + 1, 2)]
+    if r == 0:
+        return a
+    rolled_a = pltpu.roll(a, _LANE - r, axis=1)
+    rolled_b = pltpu.roll(b, _LANE - r, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _LANE), 1)
+    return jnp.where(lane < _LANE - r, rolled_a, rolled_b)
+
+
+def _warp_one(planes_chunks, disp, shift, off_lo, off_hi, w):
+    """(8, 128) warped value per channel for one direction."""
+    s = pl.program_id(1)
+    base = pl.multiple_of(s * _LANE, _LANE)
+    xg = (jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _LANE), 1)
+          + base).astype(F32)
+    coord = jnp.clip(xg + disp * F32(shift), F32(0.0), F32(w - 1))
+    k0f = jnp.floor(coord)
+    frac = coord - k0f
+    k0 = k0f.astype(jnp.int32) - xg.astype(jnp.int32)   # in [off_lo, off_hi]
+
+    outs = [jnp.zeros((_ROWS, _LANE), F32) for _ in range(3)]
+    for k in range(off_lo, off_hi + 1):
+        sel = (k0 == k)
+        for c in range(3):
+            v0 = _window(planes_chunks[c], _PAD + k).astype(F32)
+            v1 = _window(planes_chunks[c], _PAD + k + 1).astype(F32)
+            val = v0 * (F32(1.0) - frac) + v1 * frac
+            outs[c] = jnp.where(sel, val, outs[c])
+    # alu_bilinear_interp returns uchar: truncate toward zero
+    return [jnp.floor(o) for o in outs]
+
+
+def _warp_kernel(dl_ref, dr_ref, lb, lg, lr, rb, rg, rr,
+                 ol0, ol1, ol2, or0, or1, or2,
+                 *, shift_l, shift_r, lo_l, hi_l, lo_r, hi_r, w):
+    """View warp pair: from-L using disp_r at shift_l, from-R using
+    disp_l at shift_r (the reference's asymmetric pairing,
+    d_dibr_bwarp.cu:56-57)."""
+    s = pl.program_id(1)
+    base = pl.multiple_of(s * _LANE, _LANE)
+
+    def chunks(ref):
+        return [ref[:, pl.ds(base + k * _LANE, _LANE)] for k in range(3)]
+
+    l_ch = [chunks(r_) for r_ in (lb, lg, lr)]
+    r_ch = [chunks(r_) for r_ in (rb, rg, rr)]
+    disp_l = dl_ref[:, pl.ds(base, _LANE)]
+    disp_r = dr_ref[:, pl.ds(base, _LANE)]
+
+    a = _warp_one(l_ch, disp_r, shift_l, lo_l, hi_l, w)
+    b = _warp_one(r_ch, disp_l, shift_r, lo_r, hi_r, w)
+    for ref, val in zip((ol0, ol1, ol2, or0, or1, or2), a + b):
+        ref[...] = val
+
+
+def _bounds(dmin, dmax, s):
+    c = (dmin * s, dmax * s)
+    return int(np.floor(min(c))), int(np.ceil(max(c)))
+
+
+@functools.partial(jax.jit, static_argnames=("shift", "num_disp",
+                                             "zero_disp", "interpret"))
+def dibr_warp_pair_kern(img_l, img_r, disp_l, disp_r, shift: float,
+                        num_disp: int, zero_disp: int,
+                        interpret: bool = False):
+    """Intermediate view at fraction `shift` from the right: returns
+    (view_from_l, view_from_r) as (H, W, 3) f32 with integral values
+    (pre-mask, pre-final-truncation) -- warp from L at -shift with
+    disp_r, from R at 1-shift with disp_l."""
+    h, w = disp_l.shape
+    hp = -(-h // _ROWS) * _ROWS
+    wp = -(-w // _LANE) * _LANE
+    dmin, dmax = -zero_disp, num_disp - zero_disp
+    s_l, s_r = -float(shift), 1.0 - float(shift)
+    lo_l, hi_l = _bounds(dmin, dmax, s_l)
+    lo_r, hi_r = _bounds(dmin, dmax, s_r)
+    if max(abs(lo_l), abs(hi_l), abs(lo_r), abs(hi_r)) + 1 > _PAD:
+        raise ValueError("disparity reach exceeds one 128-lane chunk")
+
+    def planes(img):
+        out = []
+        for c in range(3):
+            p = img[:, :, c].astype(jnp.int32)
+            p = jnp.pad(p, ((0, hp - h), (0, 0)), mode="edge")
+            p = jnp.pad(p, ((0, 0), (_PAD, _PAD + wp - w)))
+            out.append(p)
+        return out
+
+    def disp_pad(d):
+        d = jnp.pad(d.astype(F32), ((0, hp - h), (0, 0)), mode="edge")
+        return jnp.pad(d, ((0, 0), (0, wp - w)))
+
+    args = ([disp_pad(disp_l), disp_pad(disp_r)]
+            + planes(img_l) + planes(img_r))
+
+    grid = (hp // _ROWS, wp // _LANE)
+    dspec = pl.BlockSpec((_ROWS, wp), lambda y, s_: (y, 0),
+                         memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((_ROWS, wp + 2 * _PAD), lambda y, s_: (y, 0),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((_ROWS, _LANE), lambda y, s_: (y, s_),
+                         memory_space=pltpu.VMEM)
+    oshape = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
+
+    outs = pl.pallas_call(
+        functools.partial(_warp_kernel, shift_l=s_l, shift_r=s_r,
+                          lo_l=lo_l, hi_l=hi_l, lo_r=lo_r, hi_r=hi_r, w=w),
+        grid=grid,
+        in_specs=[dspec, dspec] + [pspec] * 6,
+        out_specs=(ospec,) * 6,
+        out_shape=(oshape,) * 6,
+        interpret=interpret,
+    )(*args)
+    va = jnp.stack([o[:h, :w] for o in outs[:3]], axis=-1)
+    vb = jnp.stack([o[:h, :w] for o in outs[3:]], axis=-1)
+    return va, vb
