@@ -283,8 +283,12 @@ def band_stereo_core_chunked(img_l, img_r, arms_l, arms_r, cfg,
 def dr_irv_band_chunked(disp_l, outl_l, disp_r, outl_r, arms_l, arms_r,
                         cfg, interpret: bool = False):
     """IRV with each synchronous round streamed over row chunks (vertical
-    vote reach = usd).  Semantics identical to dr_irv_band_lr: every round
-    reads the full previous-round disparity/outlier state."""
+    vote reach = usd), using the fused Pallas round kernel
+    (ops.irvkern.irv_round_kern -- bit-identical to ops.irv.dr_irv).
+    Both eyes stack along H (arms stop at their own image border, so no
+    vote window crosses the eye seam for kept rows); every round reads
+    the full previous-round disparity/outlier state."""
+    from stereo_to_multiview_tpu.ops.irvkern import irv_round_kern
     h = disp_l.shape[0]
     usd = cfg.usd
     chunk = cfg.band_row_chunk or h
@@ -295,14 +299,16 @@ def dr_irv_band_chunked(disp_l, outl_l, disp_r, outl_r, arms_l, arms_r,
         parts = []
         for start, lo in bounds:
             sl = slice(start, start + ext)
-            (ndl, nol), (ndr, nor) = dr_irv_band_lr(
-                dl[sl], ol[sl], dr_[sl], orr[sl],
-                arms_l[:, sl], arms_r[:, sl],
-                cfg.irv_thresh_s, cfg.irv_thresh_h, cfg.num_disp,
-                cfg.zero_disp, usd, 1, interpret)
+            disp = jnp.concatenate([dl[sl], dr_[sl]], axis=0)
+            outl = jnp.concatenate([ol[sl], orr[sl]], axis=0)
+            arms = jnp.concatenate([arms_l[:, sl], arms_r[:, sl]], axis=1)
+            nd, no = irv_round_kern(disp, outl, arms, cfg.irv_thresh_s,
+                                    cfg.irv_thresh_h, cfg.num_disp,
+                                    cfg.zero_disp, usd, interpret)
             n_valid = min(chunk, h - (start + lo))
             v = slice(lo, lo + n_valid)
-            parts.append((ndl[v], nol[v], ndr[v], nor[v]))
+            vr = slice(ext + lo, ext + lo + n_valid)
+            parts.append((nd[v], no[v], nd[vr], no[vr]))
         if len(parts) == 1:
             return parts[0]
         return tuple(jnp.concatenate([p[i] for p in parts], axis=0)

@@ -1,0 +1,178 @@
+"""Pallas TPU kernels for iterative region voting (d_dr_irv.cu).
+
+The band-matmul IRV (ops.band.dr_irv_band) materializes a one-hot
+(H, W, D) volume, two span volumes and transposes per round -- ~435 ms of
+the 1080p frame.  These two kernels fuse the round:
+
+  I1 `_rowspan_kernel`: builds each row's one-hot tile in VMEM straight
+     from the disparity/outlier rows and contracts it with the L/R-arm
+     band matrix on the MXU -- writing the row-span volume directly in
+     (W, H, B) layout, bf16 (counts <= 2*usd+1 < 256, exact).
+  I2 `_vote_kernel`: the vertical pass in that transposed layout (bins on
+     the MXU lanes, like the band kernel) with the histogram reduced
+     *in-kernel*: running first-max winner, max count and total -- no
+     histogram volume ever exists.
+
+Both are integer-exact, so a full IRV round is bit-identical to
+ops.irv.dr_irv / ops.band.dr_irv_band.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F32 = jnp.float32
+BF16 = jnp.bfloat16
+_LANE = 128
+_ROWS = 8
+_PAD = 128
+
+
+def _rowspan_kernel(disp_ref, outl_ref, al_ref, ar_ref, out_ref,
+                    *, num_disp: int, zero_disp: int):
+    """One (8-row, 128-column) step: out (128x, 8row, B) bf16 row spans."""
+    s = pl.program_id(1)
+    base = pl.multiple_of(s * _LANE, _LANE)
+
+    d_ch = [disp_ref[:, pl.ds(base + k * _LANE, _LANE)] for k in range(3)]
+    o_ch = [outl_ref[:, pl.ds(base + k * _LANE, _LANE)] for k in range(3)]
+    # output-pixel arms, sublane-oriented
+    an_t = al_ref[:, pl.ds(base + _PAD, _LANE)].T      # (128x, 8)
+    ap_t = ar_ref[:, pl.ds(base + _PAD, _LANE)].T
+    d_t = [c.T for c in d_ch]                          # (128i, 8)
+    o_t = [c.T for c in o_ch]
+
+    o = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 1)
+    b_iota = jax.lax.broadcasted_iota(jnp.int32, (_LANE, num_disp), 1)
+
+    for r in range(_ROWS):
+        an = an_t[:, r:r + 1]
+        ap = ap_t[:, r:r + 1]
+        acc = None
+        for c in range(3):
+            r_off = i + (c - 1) * _LANE - o
+            band = ((r_off >= -an) & (r_off <= ap)).astype(BF16)  # (x, i)
+            dint = d_t[c][:, r:r + 1].astype(jnp.int32)           # (128i, 1)
+            reli = o_t[c][:, r:r + 1] == 0
+            onehot = (reli & (dint + zero_disp == b_iota)).astype(BF16)
+            y = jnp.dot(band, onehot, preferred_element_type=F32)
+            acc = y if acc is None else acc + y
+        out_ref[:, r, :] = acc.astype(BF16)            # exact: <= 69
+
+
+def _vote_kernel(rs_m1, rs_0, rs_p1, au_ref, ad_ref,
+                 win_ref, max_ref, tot_ref, *, num_disp: int):
+    """One (8-W-row, 128-H-column) step in the (W, H, B) layout: vertical
+    inclusive span + in-kernel histogram reduction."""
+    s = pl.program_id(1)
+
+    au_t = au_ref[:, pl.ds(pl.multiple_of(s * _LANE, _LANE), _LANE)].T
+    ad_t = ad_ref[:, pl.ds(pl.multiple_of(s * _LANE, _LANE), _LANE)].T
+
+    o = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 1)
+
+    for r in range(_ROWS):
+        an = au_t[:, r:r + 1]
+        ap = ad_t[:, r:r + 1]
+        hist = None
+        for c, rs in ((-1, rs_m1), (0, rs_0), (1, rs_p1)):
+            r_off = i + c * _LANE - o
+            band = ((r_off >= -an) & (r_off <= ap)).astype(BF16)
+            y = jnp.dot(band, rs[r], preferred_element_type=F32)
+            hist = y if hist is None else hist + y     # (128h, B)
+        tot_ref[r] = jnp.sum(hist, axis=1)
+        max_ref[r] = jnp.max(hist, axis=1)
+        win_ref[r] = jnp.argmax(hist, axis=1).astype(jnp.int32)  # first max
+
+
+@functools.partial(jax.jit, static_argnames=("num_disp", "zero_disp",
+                                             "usd", "interpret"))
+def irv_round_kern(disp: jnp.ndarray, outliers: jnp.ndarray,
+                   arms: jnp.ndarray, thresh_s: int, thresh_h: float,
+                   num_disp: int, zero_disp: int, usd: int,
+                   interpret: bool = False):
+    """One synchronous IRV voting round.  Bit-identical to
+    ops.irv.dr_irv with iterations=1 (same vote rule, dr_irv_kernel_3:36;
+    U arm clamped to usd like the reference pre-kernel)."""
+    from stereo_to_multiview_tpu.ops.cross import UP, DOWN, LEFT, RIGHT
+    if usd > _PAD:
+        raise ValueError("usd must be <= 128")
+    h, w = disp.shape
+    hp = -(-h // _LANE) * _LANE        # H padded for I2's 128-chunks
+    wp = -(-w // _LANE) * _LANE
+
+    def pad_hw(x, fill):
+        return jnp.pad(x, ((0, hp - h), (0, wp - w)), constant_values=fill)
+
+    disp_p = pad_hw(disp.astype(F32), 0)
+    outl_p = pad_hw(outliers.astype(jnp.int32), 1)   # pads never vote
+    al = pad_hw(arms[LEFT].astype(jnp.int32), 0)
+    ar = pad_hw(arms[RIGHT].astype(jnp.int32), 0)
+    au = pad_hw(jnp.minimum(arms[UP], usd).astype(jnp.int32), 0)
+    ad_ = pad_hw(arms[DOWN].astype(jnp.int32), 0)
+
+    # x-neighbor reach for the row pass
+    dx = jnp.pad(disp_p, ((0, 0), (_PAD, _PAD)))
+    ox = jnp.pad(outl_p, ((0, 0), (_PAD, _PAD)), constant_values=1)
+    alx = jnp.pad(al, ((0, 0), (_PAD, _PAD)))
+    arx = jnp.pad(ar, ((0, 0), (_PAD, _PAD)))
+
+    row_spec = pl.BlockSpec((_ROWS, wp + 2 * _PAD), lambda y, s: (y, 0),
+                            memory_space=pltpu.VMEM)
+    rs = pl.pallas_call(
+        functools.partial(_rowspan_kernel, num_disp=num_disp,
+                          zero_disp=zero_disp),
+        grid=(hp // _ROWS, wp // _LANE),
+        in_specs=[row_spec] * 4,
+        out_specs=pl.BlockSpec((_LANE, _ROWS, num_disp),
+                               lambda y, s: (s, y, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((wp, hp, num_disp), BF16),
+        interpret=interpret,
+    )(dx, ox, alx, arx)
+
+    # vertical pass + reduce, in the (W, H, B) layout
+    au_t = au.T                        # (W, H)
+    ad_t = ad_.T
+    n_hseg = hp // _LANE
+
+    def rs_at(delta):
+        def idx(y, s):
+            return (y, jnp.clip(s + delta, 0, n_hseg - 1), 0)
+        return pl.BlockSpec((_ROWS, _LANE, num_disp), idx,
+                            memory_space=pltpu.VMEM)
+
+    arm_spec = pl.BlockSpec((_ROWS, hp), lambda y, s: (y, 0),
+                            memory_space=pltpu.VMEM)
+    win_t, max_t, tot_t = pl.pallas_call(
+        functools.partial(_vote_kernel, num_disp=num_disp),
+        grid=(wp // _ROWS, n_hseg),
+        in_specs=[rs_at(-1), rs_at(0), rs_at(1), arm_spec, arm_spec],
+        out_specs=(pl.BlockSpec((_ROWS, _LANE), lambda y, s: (y, s),
+                                memory_space=pltpu.VMEM),) * 3,
+        out_shape=(jax.ShapeDtypeStruct((wp, hp), jnp.int32),
+                   jax.ShapeDtypeStruct((wp, hp), jnp.float32),
+                   jax.ShapeDtypeStruct((wp, hp), jnp.float32)),
+        interpret=interpret,
+    )(rs, rs, rs, au_t, ad_t)
+
+    winner = win_t.T[:h, :w]
+    max_bin = max_t.T[:h, :w]
+    total = tot_t.T[:h, :w].astype(jnp.int32)
+
+    dint = disp.astype(jnp.int32)
+    max_d = jnp.where(max_bin > 0, winner - zero_disp, dint)
+    ratio = ((max_d + zero_disp).astype(F32)
+             / jnp.maximum(total, 1).astype(F32))
+    accept = ((outliers != 0) & (total > thresh_s)
+              & (ratio > F32(thresh_h)))
+    new_disp = jnp.where(accept, max_d.astype(F32), disp)
+    new_out = jnp.where(accept, jnp.uint8(0), outliers)
+    return new_disp, new_out
