@@ -60,11 +60,14 @@ def _band_kernel(an_ref, ap_ref, vm1_ref, v0_ref, vp1_ref, out_ref,
 
     The arm block is transposed once per step (a single small relayout)
     so each row's arm vector is sublane-oriented; the band matrix is then
-    built directly in canonical (o, i) orientation and every MXU dot runs
-    untransposed.
+    built directly in canonical (o, i) orientation over the full 384-wide
+    window, and each bf16 split runs as ONE (128, 384) x (384, D) MXU dot
+    -- three small dependent dots per row pipeline far worse than one
+    wide one.
     """
-    o = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 0)
-    i = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 1)
+    o = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 3 * _LANE), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 3 * _LANE), 1)
+    r = i - _LANE - o                     # offset of window pos i from o
 
     an_t = an_ref[:].T                    # (128, _ROWS), one relayout
     ap_t = ap_ref[:].T
@@ -72,24 +75,21 @@ def _band_kernel(an_ref, ap_ref, vm1_ref, v0_ref, vp1_ref, out_ref,
     for row in range(_ROWS):
         an = an_t[:, row:row + 1]         # (128, 1) sublane-oriented
         ap = ap_t[:, row:row + 1]
-        acc = None
-        for c, vref in ((-1, vm1_ref), (0, v0_ref), (1, vp1_ref)):
-            r = i + c * _LANE - o         # offset of window pos i from o
-            if inclusive:
-                band = (r >= -an) & (r <= ap)
-            else:
-                band = (r >= -an) & (r < ap)
-            a = band.astype(BF16)         # exact 0/1, (o, i)
-            x = vref[row]                 # (128 i, D) f32
-            part = x.astype(BF16)
-            y = jnp.dot(a, part, preferred_element_type=F32)
-            rem = x
-            for _ in range(nsplit - 1):
-                rem = rem - part.astype(F32)
-                part = rem.astype(BF16)
-                y = y + jnp.dot(a, part, preferred_element_type=F32)
-            acc = y if acc is None else acc + y
-        out_ref[row] = acc
+        if inclusive:
+            band = (r >= -an) & (r <= ap)
+        else:
+            band = (r >= -an) & (r < ap)
+        a = band.astype(BF16)             # exact 0/1, (o, 384)
+        x = jnp.concatenate([vm1_ref[row], v0_ref[row], vp1_ref[row]],
+                            axis=0)       # (384 i, D) f32
+        part = x.astype(BF16)
+        y = jnp.dot(a, part, preferred_element_type=F32)
+        rem = x
+        for _ in range(nsplit - 1):
+            rem = rem - part.astype(F32)
+            part = rem.astype(BF16)
+            y = y + jnp.dot(a, part, preferred_element_type=F32)
+        out_ref[row] = y
 
 
 @functools.partial(jax.jit, static_argnames=("inclusive", "nsplit",

@@ -39,31 +39,28 @@ def _rowspan_kernel(disp_ref, outl_ref, al_ref, ar_ref, out_ref,
     s = pl.program_id(1)
     base = pl.multiple_of(s * _LANE, _LANE)
 
-    d_ch = [disp_ref[:, pl.ds(base + k * _LANE, _LANE)] for k in range(3)]
-    o_ch = [outl_ref[:, pl.ds(base + k * _LANE, _LANE)] for k in range(3)]
+    d_win = disp_ref[:, pl.ds(base, 3 * _LANE)]        # (8, 384)
+    o_win = outl_ref[:, pl.ds(base, 3 * _LANE)]
     # output-pixel arms, sublane-oriented
     an_t = al_ref[:, pl.ds(base + _PAD, _LANE)].T      # (128x, 8)
     ap_t = ar_ref[:, pl.ds(base + _PAD, _LANE)].T
-    d_t = [c.T for c in d_ch]                          # (128i, 8)
-    o_t = [c.T for c in o_ch]
+    d_t = d_win.T                                      # (384i, 8)
+    o_t = o_win.T
 
-    o = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 0)
-    i = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 1)
-    b_iota = jax.lax.broadcasted_iota(jnp.int32, (_LANE, num_disp), 1)
+    o = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 3 * _LANE), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 3 * _LANE), 1)
+    r_off = i - _PAD - o
+    b_iota = jax.lax.broadcasted_iota(jnp.int32, (3 * _LANE, num_disp), 1)
 
     for r in range(_ROWS):
         an = an_t[:, r:r + 1]
         ap = ap_t[:, r:r + 1]
-        acc = None
-        for c in range(3):
-            r_off = i + (c - 1) * _LANE - o
-            band = ((r_off >= -an) & (r_off <= ap)).astype(BF16)  # (x, i)
-            dint = d_t[c][:, r:r + 1].astype(jnp.int32)           # (128i, 1)
-            reli = o_t[c][:, r:r + 1] == 0
-            onehot = (reli & (dint + zero_disp == b_iota)).astype(BF16)
-            y = jnp.dot(band, onehot, preferred_element_type=F32)
-            acc = y if acc is None else acc + y
-        out_ref[:, r, :] = acc.astype(BF16)            # exact: <= 69
+        band = ((r_off >= -an) & (r_off <= ap)).astype(BF16)  # (x, 384)
+        dint = d_t[:, r:r + 1].astype(jnp.int32)              # (384i, 1)
+        reli = o_t[:, r:r + 1] == 0
+        onehot = (reli & (dint + zero_disp == b_iota)).astype(BF16)
+        y = jnp.dot(band, onehot, preferred_element_type=F32)
+        out_ref[:, r, :] = y.astype(BF16)              # exact: <= 69
 
 
 def _vote_kernel(rs_m1, rs_0, rs_p1, au_ref, ad_ref,
@@ -75,18 +72,16 @@ def _vote_kernel(rs_m1, rs_0, rs_p1, au_ref, ad_ref,
     au_t = au_ref[:, pl.ds(pl.multiple_of(s * _LANE, _LANE), _LANE)].T
     ad_t = ad_ref[:, pl.ds(pl.multiple_of(s * _LANE, _LANE), _LANE)].T
 
-    o = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 0)
-    i = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 1)
+    o = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 3 * _LANE), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 3 * _LANE), 1)
+    r_off = i - _LANE - o
 
     for r in range(_ROWS):
         an = au_t[:, r:r + 1]
         ap = ad_t[:, r:r + 1]
-        hist = None
-        for c, rs in ((-1, rs_m1), (0, rs_0), (1, rs_p1)):
-            r_off = i + c * _LANE - o
-            band = ((r_off >= -an) & (r_off <= ap)).astype(BF16)
-            y = jnp.dot(band, rs[r], preferred_element_type=F32)
-            hist = y if hist is None else hist + y     # (128h, B)
+        band = ((r_off >= -an) & (r_off <= ap)).astype(BF16)
+        rs_cat = jnp.concatenate([rs_m1[r], rs_0[r], rs_p1[r]], axis=0)
+        hist = jnp.dot(band, rs_cat, preferred_element_type=F32)
         tot_ref[r] = jnp.sum(hist, axis=1)
         max_ref[r] = jnp.max(hist, axis=1)
         win_ref[r] = jnp.argmax(hist, axis=1).astype(jnp.int32)  # first max
