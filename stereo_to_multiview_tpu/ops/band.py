@@ -142,6 +142,8 @@ def band_span_sum_h(vol: jnp.ndarray, arm_neg: jnp.ndarray,
         out_specs=pl.BlockSpec((_ROWS, _LANE, d), lambda s, y: (y, s, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((hp, wp, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(an_n, ap_n, vol, vol, vol)
     return out[:h, :w]

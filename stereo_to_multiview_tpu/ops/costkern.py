@@ -26,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 F32 = jnp.float32
 _LANE = 128
-_ROWS = 8
+_ROWS = 16
 _PAD = 128      # edge padding columns on each side of every plane
 
 
@@ -168,6 +168,8 @@ def ci_adcensus_kern(img_l: jnp.ndarray, img_r: jnp.ndarray,
                    jax.ShapeDtypeStruct((hp, wp, num_disp), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((num_disp, _ROWS, _LANE), jnp.float32),
                         pltpu.VMEM((num_disp, _ROWS, _LANE), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(*args)
     return out_l[:h, :w], out_r[:h, :w]

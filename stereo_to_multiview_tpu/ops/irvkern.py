@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 F32 = jnp.float32
 BF16 = jnp.bfloat16
 _LANE = 128
-_ROWS = 8
+_ROWS = 32
 _PAD = 128
 
 
@@ -130,6 +130,8 @@ def irv_round_kern(disp: jnp.ndarray, outliers: jnp.ndarray,
                                lambda y, s: (s, y, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((wp, hp, num_disp), BF16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(dx, ox, alx, arx)
 
@@ -155,6 +157,8 @@ def irv_round_kern(disp: jnp.ndarray, outliers: jnp.ndarray,
         out_shape=(jax.ShapeDtypeStruct((wp, hp), jnp.int32),
                    jax.ShapeDtypeStruct((wp, hp), jnp.float32),
                    jax.ShapeDtypeStruct((wp, hp), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(rs, rs, rs, au_t, ad_t)
 

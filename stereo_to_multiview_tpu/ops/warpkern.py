@@ -142,6 +142,8 @@ def dibr_warp_pair_kern(img_l, img_r, disp_l, disp_r, shift: float,
         in_specs=[dspec, dspec] + [pspec] * 6,
         out_specs=(ospec,) * 6,
         out_shape=(oshape,) * 6,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(*args)
     va = jnp.stack([o[:h, :w] for o in outs[:3]], axis=-1)
