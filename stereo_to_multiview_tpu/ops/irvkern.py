@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 F32 = jnp.float32
 BF16 = jnp.bfloat16
 _LANE = 128
-_ROWS = 32
+_ROWS = 16
 _PAD = 128
 
 
