@@ -58,37 +58,37 @@ def _band_kernel(an_ref, ap_ref, vm1_ref, v0_ref, vp1_ref, out_ref,
     (edge segments clamp; their band coefficients are zero).
     out: (8, 128, D) f32.
 
-    All rows' band matrices and bf16 splits are built in BULK (a handful
-    of wide vector ops on (ROWS, 128, 384) / (ROWS, 384, D) tensors
-    instead of dozens of small dependent per-row ops -- the VPU issue
-    stream, not FLOPs, dominated the per-row variant), then each bf16
-    split runs as one (128, 384) x (384, D) MXU dot per row.
+    The arm block is transposed once per step (a single small relayout)
+    so each row's arm vector is sublane-oriented; the band matrix is then
+    built directly in canonical (o, i) orientation over the full 384-wide
+    window, and each bf16 split runs as ONE (128, 384) x (384, D) MXU dot
+    -- three small dependent dots per row pipeline far worse than one
+    wide one.
     """
-    o3 = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _LANE, 3 * _LANE), 1)
-    i3 = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _LANE, 3 * _LANE), 2)
-    r3 = i3 - _LANE - o3                  # offset of window pos i from o
+    o = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 3 * _LANE), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 3 * _LANE), 1)
+    r = i - _LANE - o                     # offset of window pos i from o
 
-    an3 = an_ref[:].reshape(_ROWS, _LANE, 1)   # x lanes -> sublanes
-    ap3 = ap_ref[:].reshape(_ROWS, _LANE, 1)
-    if inclusive:
-        band3 = (r3 >= -an3) & (r3 <= ap3)
-    else:
-        band3 = (r3 >= -an3) & (r3 < ap3)
-    a3 = band3.astype(BF16)               # exact 0/1, (ROWS, o, 384)
-
-    x3 = jnp.concatenate([vm1_ref[:], v0_ref[:], vp1_ref[:]],
-                         axis=1)          # (ROWS, 384 i, D) f32
-    parts = [x3.astype(BF16)]
-    rem = x3
-    for _ in range(nsplit - 1):
-        rem = rem - parts[-1].astype(F32)
-        parts.append(rem.astype(BF16))
+    an_t = an_ref[:].T                    # (128, _ROWS), one relayout
+    ap_t = ap_ref[:].T
 
     for row in range(_ROWS):
-        a = a3[row]
-        y = jnp.dot(a, parts[0][row], preferred_element_type=F32)
-        for p in parts[1:]:
-            y = y + jnp.dot(a, p[row], preferred_element_type=F32)
+        an = an_t[:, row:row + 1]         # (128, 1) sublane-oriented
+        ap = ap_t[:, row:row + 1]
+        if inclusive:
+            band = (r >= -an) & (r <= ap)
+        else:
+            band = (r >= -an) & (r < ap)
+        a = band.astype(BF16)             # exact 0/1, (o, 384)
+        x = jnp.concatenate([vm1_ref[row], v0_ref[row], vp1_ref[row]],
+                            axis=0)       # (384 i, D) f32
+        part = x.astype(BF16)
+        y = jnp.dot(a, part, preferred_element_type=F32)
+        rem = x
+        for _ in range(nsplit - 1):
+            rem = rem - part.astype(F32)
+            part = rem.astype(BF16)
+            y = y + jnp.dot(a, part, preferred_element_type=F32)
         out_ref[row] = y
 
 

@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 F32 = jnp.float32
 BF16 = jnp.bfloat16
 _LANE = 128
-_ROWS = 16
+_ROWS = 32
 _PAD = 128
 
 
@@ -39,25 +39,27 @@ def _rowspan_kernel(disp_ref, outl_ref, al_ref, ar_ref, out_ref,
     s = pl.program_id(1)
     base = pl.multiple_of(s * _LANE, _LANE)
 
-    d_win = disp_ref[:, pl.ds(base, 3 * _LANE)]        # (R, 384)
+    d_win = disp_ref[:, pl.ds(base, 3 * _LANE)]        # (8, 384)
     o_win = outl_ref[:, pl.ds(base, 3 * _LANE)]
-    an3 = al_ref[:, pl.ds(base + _PAD, _LANE)].reshape(_ROWS, _LANE, 1)
-    ap3 = ar_ref[:, pl.ds(base + _PAD, _LANE)].reshape(_ROWS, _LANE, 1)
+    # output-pixel arms, sublane-oriented
+    an_t = al_ref[:, pl.ds(base + _PAD, _LANE)].T      # (128x, 8)
+    ap_t = ar_ref[:, pl.ds(base + _PAD, _LANE)].T
+    d_t = d_win.T                                      # (384i, 8)
+    o_t = o_win.T
 
-    # bulk band + one-hot construction (wide vector ops beat many small
-    # dependent per-row ops on the VPU issue stream)
-    o3 = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _LANE, 3 * _LANE), 1)
-    i3 = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _LANE, 3 * _LANE), 2)
-    r_off = i3 - _PAD - o3
-    band3 = ((r_off >= -an3) & (r_off <= ap3)).astype(BF16)  # (R, x, 384)
-
-    b3 = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, 3 * _LANE, num_disp), 2)
-    dint3 = d_win.astype(jnp.int32).reshape(_ROWS, 3 * _LANE, 1)
-    reli3 = o_win.reshape(_ROWS, 3 * _LANE, 1) == 0
-    onehot3 = (reli3 & (dint3 + zero_disp == b3)).astype(BF16)
+    o = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 3 * _LANE), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 3 * _LANE), 1)
+    r_off = i - _PAD - o
+    b_iota = jax.lax.broadcasted_iota(jnp.int32, (3 * _LANE, num_disp), 1)
 
     for r in range(_ROWS):
-        y = jnp.dot(band3[r], onehot3[r], preferred_element_type=F32)
+        an = an_t[:, r:r + 1]
+        ap = ap_t[:, r:r + 1]
+        band = ((r_off >= -an) & (r_off <= ap)).astype(BF16)  # (x, 384)
+        dint = d_t[:, r:r + 1].astype(jnp.int32)              # (384i, 1)
+        reli = o_t[:, r:r + 1] == 0
+        onehot = (reli & (dint + zero_disp == b_iota)).astype(BF16)
+        y = jnp.dot(band, onehot, preferred_element_type=F32)
         out_ref[:, r, :] = y.astype(BF16)              # exact: <= 69
 
 
@@ -67,18 +69,19 @@ def _vote_kernel(rs_m1, rs_0, rs_p1, au_ref, ad_ref,
     inclusive span + in-kernel histogram reduction."""
     s = pl.program_id(1)
 
-    base = pl.multiple_of(s * _LANE, _LANE)
-    an3 = au_ref[:, pl.ds(base, _LANE)].reshape(_ROWS, _LANE, 1)
-    ap3 = ad_ref[:, pl.ds(base, _LANE)].reshape(_ROWS, _LANE, 1)
+    au_t = au_ref[:, pl.ds(pl.multiple_of(s * _LANE, _LANE), _LANE)].T
+    ad_t = ad_ref[:, pl.ds(pl.multiple_of(s * _LANE, _LANE), _LANE)].T
 
-    o3 = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _LANE, 3 * _LANE), 1)
-    i3 = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _LANE, 3 * _LANE), 2)
-    r_off = i3 - _LANE - o3
-    band3 = ((r_off >= -an3) & (r_off <= ap3)).astype(BF16)
+    o = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 3 * _LANE), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 3 * _LANE), 1)
+    r_off = i - _LANE - o
 
-    rs3 = jnp.concatenate([rs_m1[:], rs_0[:], rs_p1[:]], axis=1)
     for r in range(_ROWS):
-        hist = jnp.dot(band3[r], rs3[r], preferred_element_type=F32)
+        an = au_t[:, r:r + 1]
+        ap = ad_t[:, r:r + 1]
+        band = ((r_off >= -an) & (r_off <= ap)).astype(BF16)
+        rs_cat = jnp.concatenate([rs_m1[r], rs_0[r], rs_p1[r]], axis=0)
+        hist = jnp.dot(band, rs_cat, preferred_element_type=F32)
         tot_ref[r] = jnp.sum(hist, axis=1)
         max_ref[r] = jnp.max(hist, axis=1)
         win_ref[r] = jnp.argmax(hist, axis=1).astype(jnp.int32)  # first max
