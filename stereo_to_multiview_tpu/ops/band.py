@@ -65,9 +65,12 @@ def _band_kernel(an_ref, ap_ref, vm1_ref, v0_ref, vp1_ref, out_ref,
     -- three small dependent dots per row pipeline far worse than one
     wide one.
     """
-    o = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 3 * _LANE), 0)
-    i = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 3 * _LANE), 1)
-    r = i - _LANE - o                     # offset of window pos i from o
+    # windows reach at most +-usd <= 64 around the 128-wide output tile,
+    # so the contraction only needs the 256 columns [x0-64, x0+192) of
+    # the 384-wide chunk span -- a 2-pass MXU contraction instead of 3
+    o = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 2 * _LANE), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 2 * _LANE), 1)
+    r = i - (_LANE // 2) - o              # offset of window pos i from o
 
     an_t = an_ref[:].T                    # (128, _ROWS), one relayout
     ap_t = ap_ref[:].T
@@ -79,10 +82,10 @@ def _band_kernel(an_ref, ap_ref, vm1_ref, v0_ref, vp1_ref, out_ref,
             band = (r >= -an) & (r <= ap)
         else:
             band = (r >= -an) & (r < ap)
-        a = band.astype(BF16)             # exact 0/1, (o, 384)
+        a = band.astype(BF16)             # exact 0/1, (o, 256)
         x = jnp.concatenate([vm1_ref[row], v0_ref[row], vp1_ref[row]],
-                            axis=0)       # (384 i, D) f32
-        part = x.astype(BF16)
+                            axis=0)[_LANE // 2:_LANE // 2 + 2 * _LANE]
+        part = x.astype(BF16)             # (256 i, D) f32 window
         y = jnp.dot(a, part, preferred_element_type=F32)
         rem = x
         for _ in range(nsplit - 1):
@@ -101,8 +104,9 @@ def band_span_sum_h(vol: jnp.ndarray, arm_neg: jnp.ndarray,
 
     out[y, x, d] = sum_{j in win(y,x)} vol[y, j, d], win = [x - arm_neg,
     x + arm_pos) (half-open; `inclusive` closes the right end, IRV-style).
-    arm_* are (H, W) integer arrays bounded by min(128, W); windows must
-    not cross the image border (cross-arm construction guarantees it).
+    arm_* are (H, W) integer arrays bounded by 64 (the kernel contracts a
+    256-wide window around each 128-column tile); windows must not cross
+    the image border (cross-arm construction guarantees it).
     nsplit: bf16 terms for the volume (1 = exact for small-integer
     volumes, 2 = ~1e-5 relative, 3 = ~f32).
     """
@@ -250,6 +254,9 @@ def band_stereo_core_chunked(img_l, img_r, arms_l, arms_r, cfg,
 
     h = img_l.shape[0]
     usd = cfg.usd
+    if usd > 64:
+        raise ValueError("band engine requires usd <= 64 (256-wide kernel "
+                         "windows); use engine='xla' for larger arms")
     chunk = cfg.band_row_chunk or h
     halo = 2 * usd
     ext, bounds = _chunk_bounds(h, chunk, halo)

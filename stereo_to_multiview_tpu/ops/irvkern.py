@@ -39,24 +39,27 @@ def _rowspan_kernel(disp_ref, outl_ref, al_ref, ar_ref, out_ref,
     s = pl.program_id(1)
     base = pl.multiple_of(s * _LANE, _LANE)
 
-    d_win = disp_ref[:, pl.ds(base, 3 * _LANE)]        # (8, 384)
+    # vote windows reach at most +-usd <= 64, so only the 256 columns
+    # [x0-64, x0+192) of the 384 chunk span feed the contraction
+    d_win = disp_ref[:, pl.ds(base, 3 * _LANE)]        # (R, 384)
     o_win = outl_ref[:, pl.ds(base, 3 * _LANE)]
     # output-pixel arms, sublane-oriented
-    an_t = al_ref[:, pl.ds(base + _PAD, _LANE)].T      # (128x, 8)
+    an_t = al_ref[:, pl.ds(base + _PAD, _LANE)].T      # (128x, R)
     ap_t = ar_ref[:, pl.ds(base + _PAD, _LANE)].T
-    d_t = d_win.T                                      # (384i, 8)
-    o_t = o_win.T
+    half = _LANE // 2
+    d_t = d_win.T[half:half + 2 * _LANE]               # (256i, R)
+    o_t = o_win.T[half:half + 2 * _LANE]
 
-    o = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 3 * _LANE), 0)
-    i = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 3 * _LANE), 1)
-    r_off = i - _PAD - o
-    b_iota = jax.lax.broadcasted_iota(jnp.int32, (3 * _LANE, num_disp), 1)
+    o = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 2 * _LANE), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 2 * _LANE), 1)
+    r_off = i - half - o
+    b_iota = jax.lax.broadcasted_iota(jnp.int32, (2 * _LANE, num_disp), 1)
 
     for r in range(_ROWS):
         an = an_t[:, r:r + 1]
         ap = ap_t[:, r:r + 1]
-        band = ((r_off >= -an) & (r_off <= ap)).astype(BF16)  # (x, 384)
-        dint = d_t[:, r:r + 1].astype(jnp.int32)              # (384i, 1)
+        band = ((r_off >= -an) & (r_off <= ap)).astype(BF16)  # (x, 256)
+        dint = d_t[:, r:r + 1].astype(jnp.int32)              # (256i, 1)
         reli = o_t[:, r:r + 1] == 0
         onehot = (reli & (dint + zero_disp == b_iota)).astype(BF16)
         y = jnp.dot(band, onehot, preferred_element_type=F32)
@@ -72,15 +75,17 @@ def _vote_kernel(rs_m1, rs_0, rs_p1, au_ref, ad_ref,
     au_t = au_ref[:, pl.ds(pl.multiple_of(s * _LANE, _LANE), _LANE)].T
     ad_t = ad_ref[:, pl.ds(pl.multiple_of(s * _LANE, _LANE), _LANE)].T
 
-    o = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 3 * _LANE), 0)
-    i = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 3 * _LANE), 1)
-    r_off = i - _LANE - o
+    half = _LANE // 2
+    o = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 2 * _LANE), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 2 * _LANE), 1)
+    r_off = i - half - o
 
     for r in range(_ROWS):
         an = au_t[:, r:r + 1]
         ap = ad_t[:, r:r + 1]
         band = ((r_off >= -an) & (r_off <= ap)).astype(BF16)
-        rs_cat = jnp.concatenate([rs_m1[r], rs_0[r], rs_p1[r]], axis=0)
+        rs_cat = jnp.concatenate([rs_m1[r], rs_0[r], rs_p1[r]],
+                                 axis=0)[half:half + 2 * _LANE]
         hist = jnp.dot(band, rs_cat, preferred_element_type=F32)
         tot_ref[r] = jnp.sum(hist, axis=1)
         max_ref[r] = jnp.max(hist, axis=1)
@@ -97,8 +102,8 @@ def irv_round_kern(disp: jnp.ndarray, outliers: jnp.ndarray,
     ops.irv.dr_irv with iterations=1 (same vote rule, dr_irv_kernel_3:36;
     U arm clamped to usd like the reference pre-kernel)."""
     from stereo_to_multiview_tpu.ops.cross import UP, DOWN, LEFT, RIGHT
-    if usd > _PAD:
-        raise ValueError("usd must be <= 128")
+    if usd > _LANE // 2:
+        raise ValueError("usd must be <= 64 (256-wide kernel windows)")
     h, w = disp.shape
     hp = -(-h // _LANE) * _LANE        # H padded for I2's 128-chunks
     wp = -(-w // _LANE) * _LANE
