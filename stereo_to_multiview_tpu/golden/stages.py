@@ -247,6 +247,28 @@ def cross_aggregate(cost: np.ndarray, arms: np.ndarray) -> np.ndarray:
     return a
 
 
+def cross_aggregate_q(cost: np.ndarray, arms: np.ndarray,
+                      max_arm: int) -> np.ndarray:
+    """Golden for the quantized band-engine aggregation
+    (ops.band.band_aggregate_q): cost (D, H, W) f32 is quantized once to
+    round(cost*127) integers, the four H,V,V,H half-open span passes run
+    in exact integer arithmetic, and the volume is rescaled by
+    floor(x * 2^-s + 0.5) after passes 2 and 3 (shifts fixed by max_arm).
+    Same pass structure as cross_aggregate; the TPU kernels must match
+    this bit for bit."""
+    from stereo_to_multiview_tpu.ops.band import agg_rescale_shifts
+    s2, s3 = agg_rescale_shifts(max_arm)
+    # quantize in f32 exactly like the kernel (tie behavior included)
+    q = np.rint(cost.astype(F32) * F32(127.0)).astype(F32)
+    a = _dir_sum(q, arms[LEFT], arms[RIGHT], axis=2)
+    a = _dir_sum(a, arms[UP], arms[DOWN], axis=1)
+    a = np.floor(a * 2.0 ** -s2 + 0.5).astype(F32)
+    a = _dir_sum(a, arms[UP], arms[DOWN], axis=1)
+    a = np.floor(a * 2.0 ** -s3 + 0.5).astype(F32)
+    a = _dir_sum(a, arms[LEFT], arms[RIGHT], axis=2)
+    return a
+
+
 # ---------------------------------------------------------------------------
 # disparity computation / refinement
 # ---------------------------------------------------------------------------

@@ -34,14 +34,14 @@ F32 = jnp.float32
 
 def _use_band(cfg: PipelineConfig) -> bool:
     """Resolve the engine choice at trace time.  'auto' uses the banded-MXU
-    Pallas kernels on accelerators and the pure-XLA path on CPU (where
-    interpret-mode kernels would be slow and the pjit partitioner needs a
-    plain-HLO graph)."""
+    Pallas kernels on TPU only: CPU runs the pure-XLA path (interpret-mode
+    kernels would be slow and the pjit partitioner needs a plain-HLO
+    graph), and other accelerators (GPU) cannot lower Mosaic kernels."""
     if cfg.engine == "band":
         return True
     if cfg.engine == "xla":
         return False
-    return jax.default_backend() != "cpu"
+    return jax.default_backend() == "tpu"
 
 
 def compute_disparities(img_l: jnp.ndarray, img_r: jnp.ndarray,

@@ -11,13 +11,31 @@ output tile of 128 pixels the window sum is a banded 0/1 matrix product:
     out[o, :] = sum_i A[o, i] * vol[i, :]        A[o, i] = [i-o in window(o)]
 
 with the D axis riding the MXU lanes.  A is built on the fly from the arm
-vectors (2 compares per entry, VPU) and is *exact* in bfloat16, so:
+vectors (2 compares per entry, VPU) and is *exact* in bfloat16.
 
-  * integer-valued volumes (IRV one-hot histograms) run at full bf16 MXU
-    throughput with exact f32 accumulation (counts < 2^24);
-  * float volumes (aggregated costs) use a 2- or 3-term bf16 split of the
-    input (hi = bf16(x), mid = bf16(x - hi), ...) for ~f32 accuracy at
-    2-3x the bf16 cost -- far above the VPU alternative.
+Kernel layout (round 2): ONE row-resident volume block per grid step --
+(rows, W + 128, D) in VMEM -- with every 256-wide window taken by *static*
+sublane slices inside the kernel.  The round-1 design fed each 128-column
+tile three overlapping neighbor blocks, which re-read the whole volume
+3x from HBM and made every pass bandwidth-bound.
+
+Aggregation numerics (round 2): the aggregated volumes are kept as exact
+small integers end to end ("quantized" path):
+
+  * the cost volume is quantized once at init to q = round(cost * 127)
+    in [0, 254] -- exactly representable in bf16;
+  * pass 1 sums <= 129 such values (usd <= 64), exact in f32;
+  * passes 2-4 split their integer inputs into two base-256 digits (each
+    < 256, bf16-exact) -> two exact MXU dots, recombined in f32;
+  * after passes 2 and 3 the volume is rescaled by floor(x/256 + 0.5)
+    to keep every subsequent accumulation below 2^24 (f32-exact).
+
+Every intermediate is therefore an exact integer and the final WTA argmin
+is fully deterministic: the result is bit-identical no matter how the
+frame is chunked over rows (the V-pass tile origin shifts with the chunk,
+but exact sums are order-independent) or sharded over devices.  The only
+deviation from the reference's f32 math is the single initial 1/127
+quantization of the per-pixel cost.
 
 Reference semantics: d_ca_cross_sum.cu:243-293 (half-open spans, arm_pos
 excludes the anchor when 0) and d_dr_irv.cu:134-220 (inclusive spans).
@@ -26,7 +44,7 @@ the reference uses the identical transpose trick (d_ca_cross.cu:255-270).
 
 The kernel assumes windows never extend past the image (guaranteed: cross
 arms stop at the border by construction, d_ca_cross.cu:41-69), so
-out-of-range band columns have A == 0 and no padding is ever read.
+out-of-range band columns have A == 0 and only zero padding is read.
 """
 
 from __future__ import annotations
@@ -41,62 +59,135 @@ from jax.experimental.pallas import tpu as pltpu
 F32 = jnp.float32
 BF16 = jnp.bfloat16
 
-_LANE = 128  # output tile (sublanes of A) and window chunk size
+_LANE = 128   # output tile width
+_HALO = 64    # window reach beyond the tile on each side (usd <= 64)
+_ROWS = 8     # image rows per grid step
+
+# cost quantization scale: cost in [0, 2] -> integers in [0, 254]
+QSCALE = 127.0
+
+_VMEM_LIMIT = 96 * 1024 * 1024
 
 
-_ROWS = 16  # image rows per grid step (amortizes per-step grid overhead;
-            # 3 chunks x (16,128,128) f32 double-buffered + out stays
-            # within VMEM at D=128)
-
-
-def _band_kernel(an_ref, ap_ref, vm1_ref, v0_ref, vp1_ref, out_ref,
-                 *, inclusive: bool, nsplit: int):
-    """One (128-column segment, 8-row block) step.
-
-    an/ap: (8, 128) i32 arm blocks in natural (H, W) layout.
-    vm1/v0/vp1: (8, 128, D) f32 volume chunks at segments s-1, s, s+1
-    (edge segments clamp; their band coefficients are zero).
-    out: (8, 128, D) f32.
-
-    The arm block is transposed once per step (a single small relayout)
-    so each row's arm vector is sublane-oriented; the band matrix is then
-    built directly in canonical (o, i) orientation over the full 384-wide
-    window, and each bf16 split runs as ONE (128, 384) x (384, D) MXU dot
-    -- three small dependent dots per row pipeline far worse than one
-    wide one.
+def _terms(x, mode: str, terms: int):
+    """Split a (256, D) window into bf16 planes with f32 recombination
+    scales.  mode 'int': x holds exact non-negative integers < 256^terms;
+    base-256 digits, each < 256 hence bf16-exact -> the recombined dot is
+    exact.  mode 'float': successive bf16 remainders (hi = bf16(x),
+    mid = bf16(x - hi), ...) for ~f32 accuracy at `terms` x the bf16 cost.
     """
-    # windows reach at most +-usd <= 64 around the 128-wide output tile,
-    # so the contraction only needs the 256 columns [x0-64, x0+192) of
-    # the 384-wide chunk span -- a 2-pass MXU contraction instead of 3
+    if mode == "int":
+        if terms == 1:
+            return [(x.astype(BF16), None)]
+        xf = x.astype(F32)
+        hi = jnp.floor(xf * F32(1.0 / 256.0))
+        lo = xf - hi * F32(256.0)
+        out = [(lo.astype(BF16), None), (hi.astype(BF16), F32(256.0))]
+        if terms >= 3:
+            h2 = jnp.floor(hi * F32(1.0 / 256.0))
+            out[1] = ((hi - h2 * F32(256.0)).astype(BF16), F32(256.0))
+            out.append((h2.astype(BF16), F32(65536.0)))
+        return out
+    xf = x.astype(F32)
+    out = []
+    for k in range(terms):
+        part = xf.astype(BF16)
+        out.append((part, None))
+        if k + 1 < terms:
+            xf = xf - part.astype(F32)
+    return out
+
+
+def _res_kernel(an_ref, ap_ref, vol_ref, out_ref, *, inclusive: bool,
+                mode: str, terms: int, rescale: int, wta: bool,
+                zero_disp: int, n_tiles: int, rows: int):
+    """One `rows`-row grid step over the whole padded width.
+
+    an/ap: (rows, WP) i32 arms in natural layout.
+    vol: (rows, WP + 128, D) volume with a 64-column zero halo each side.
+    out: (rows, WP, D) f32 sums, or (rows, WP) f32 disparities when `wta`.
+    """
     o = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 2 * _LANE), 0)
     i = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 2 * _LANE), 1)
-    r = i - (_LANE // 2) - o              # offset of window pos i from o
+    roff = i - _HALO - o            # offset of window pos i from output o
 
-    an_t = an_ref[:].T                    # (128, _ROWS), one relayout
-    ap_t = ap_ref[:].T
+    an_all = an_ref[:].T            # (WP, rows): one small relayout/step
+    ap_all = ap_ref[:].T
 
-    for row in range(_ROWS):
-        an = an_t[:, row:row + 1]         # (128, 1) sublane-oriented
-        ap = ap_t[:, row:row + 1]
-        if inclusive:
-            band = (r >= -an) & (r <= ap)
-        else:
-            band = (r >= -an) & (r < ap)
-        a = band.astype(BF16)             # exact 0/1, (o, 256)
-        x = jnp.concatenate([vm1_ref[row], v0_ref[row], vp1_ref[row]],
-                            axis=0)[_LANE // 2:_LANE // 2 + 2 * _LANE]
-        part = x.astype(BF16)             # (256 i, D) f32 window
-        y = jnp.dot(a, part, preferred_element_type=F32)
-        rem = x
-        for _ in range(nsplit - 1):
-            rem = rem - part.astype(F32)
-            part = rem.astype(BF16)
-            y = y + jnp.dot(a, part, preferred_element_type=F32)
-        out_ref[row] = y
+    for t in range(n_tiles):
+        a0 = t * _LANE
+        for r in range(rows):
+            an = an_all[a0:a0 + _LANE, r:r + 1]      # (128, 1)
+            ap = ap_all[a0:a0 + _LANE, r:r + 1]
+            if inclusive:
+                band = (roff >= -an) & (roff <= ap)
+            else:
+                band = (roff >= -an) & (roff < ap)
+            a = band.astype(BF16)                    # exact 0/1
+            x = vol_ref[r, a0:a0 + 2 * _LANE, :]     # (256, D) window
+            y = None
+            for part, scale in _terms(x, mode, terms):
+                dot = jnp.dot(a, part, preferred_element_type=F32)
+                if scale is not None:
+                    dot = dot * scale
+                y = dot if y is None else y + dot
+            if rescale:
+                y = jnp.floor(y * F32(2.0 ** -rescale) + F32(0.5))
+            if wta:
+                am = jnp.argmin(y, axis=1).astype(jnp.int32)
+                out_ref[r, a0:a0 + _LANE] = (am - zero_disp).astype(F32)
+            else:
+                out_ref[r, a0:a0 + _LANE, :] = y
 
 
-@functools.partial(jax.jit, static_argnames=("inclusive", "nsplit",
-                                             "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "inclusive", "mode", "terms", "rescale", "wta", "zero_disp", "rows",
+    "interpret"))
+def _band_pass_h(vol: jnp.ndarray, arm_neg: jnp.ndarray,
+                 arm_pos: jnp.ndarray, *, inclusive: bool = False,
+                 mode: str = "float", terms: int = 2, rescale: int = 0,
+                 wta: bool = False, zero_disp: int = 0, rows: int = _ROWS,
+                 interpret: bool = False) -> jnp.ndarray:
+    """Windowed sum along axis 1 of a (H, W, D) volume (see _res_kernel)."""
+    h, w, d = vol.shape
+    wp = -(-w // _LANE) * _LANE
+    hp = -(-h // rows) * rows
+
+    vol = jnp.pad(vol, ((0, hp - h), (_HALO, _HALO + wp - w), (0, 0)))
+    zpad = ((0, hp - h), (0, wp - w))
+    an_n = jnp.pad(arm_neg.astype(jnp.int32), zpad)
+    ap_n = jnp.pad(arm_pos.astype(jnp.int32), zpad)
+
+    arm_spec = pl.BlockSpec((rows, wp), lambda y: (y, 0),
+                            memory_space=pltpu.VMEM)
+    vol_spec = pl.BlockSpec((rows, wp + 2 * _HALO, d), lambda y: (y, 0, 0),
+                            memory_space=pltpu.VMEM)
+    if wta:
+        out_spec = pl.BlockSpec((rows, wp), lambda y: (y, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((rows, wp, d), lambda y: (y, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((hp, wp, d), jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(_res_kernel, inclusive=inclusive, mode=mode,
+                          terms=terms, rescale=rescale, wta=wta,
+                          zero_disp=zero_disp, n_tiles=wp // _LANE,
+                          rows=rows),
+        grid=(hp // rows,),
+        in_specs=[arm_spec, arm_spec, vol_spec],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(an_n, ap_n, vol)
+    return out[:h, :w]
+
+
 def band_span_sum_h(vol: jnp.ndarray, arm_neg: jnp.ndarray,
                     arm_pos: jnp.ndarray, inclusive: bool = False,
                     nsplit: int = 2, interpret: bool = False) -> jnp.ndarray:
@@ -110,47 +201,8 @@ def band_span_sum_h(vol: jnp.ndarray, arm_neg: jnp.ndarray,
     nsplit: bf16 terms for the volume (1 = exact for small-integer
     volumes, 2 = ~1e-5 relative, 3 = ~f32).
     """
-    h, w, d = vol.shape
-    wp = -(-w // _LANE) * _LANE
-    if wp != w:
-        vol = jnp.pad(vol, ((0, 0), (0, wp - w), (0, 0)))
-        zpad = ((0, 0), (0, wp - w))
-        arm_neg = jnp.pad(arm_neg, zpad)
-        arm_pos = jnp.pad(arm_pos, zpad)
-    n_seg = wp // _LANE
-
-    # arms stay in natural (H, W) layout; H padded to the row-block size
-    hp = -(-h // _ROWS) * _ROWS
-    an_n = arm_neg.astype(jnp.int32)
-    ap_n = arm_pos.astype(jnp.int32)
-    if hp != h:
-        rpad = ((0, hp - h), (0, 0))
-        an_n = jnp.pad(an_n, rpad)
-        ap_n = jnp.pad(ap_n, rpad)
-        vol = jnp.pad(vol, ((0, hp - h), (0, 0), (0, 0)))
-
-    grid = (n_seg, hp // _ROWS)   # row blocks innermost: vol blocks stream
-    arm_spec = pl.BlockSpec((_ROWS, _LANE), lambda s, y: (y, s),
-                            memory_space=pltpu.VMEM)
-
-    def vol_at(delta):
-        def idx(s, y):
-            sc = jnp.clip(s + delta, 0, n_seg - 1)
-            return (y, sc, 0)
-        return pl.BlockSpec((_ROWS, _LANE, d), idx, memory_space=pltpu.VMEM)
-
-    out = pl.pallas_call(
-        functools.partial(_band_kernel, inclusive=inclusive, nsplit=nsplit),
-        grid=grid,
-        in_specs=[arm_spec, arm_spec, vol_at(-1), vol_at(0), vol_at(+1)],
-        out_specs=pl.BlockSpec((_ROWS, _LANE, d), lambda s, y: (y, s, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((hp, wp, d), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
-        interpret=interpret,
-    )(an_n, ap_n, vol, vol, vol)
-    return out[:h, :w]
+    return _band_pass_h(vol, arm_neg, arm_pos, inclusive=inclusive,
+                        mode="float", terms=nsplit, interpret=interpret)
 
 
 def band_span_sum_v(vol: jnp.ndarray, arm_neg: jnp.ndarray,
@@ -165,34 +217,80 @@ def band_span_sum_v(vol: jnp.ndarray, arm_neg: jnp.ndarray,
     return jnp.swapaxes(out, 0, 1)
 
 
-def cross_aggregate_band(cost_hwd: jnp.ndarray, arms: jnp.ndarray,
-                         nsplit: int = 2,
-                         interpret: bool = False) -> jnp.ndarray:
-    """Four-pass cross aggregation (live order H,V,V,H, d_ca_cross.cu:
-    255-271) on a (H, W, D) volume via the banded-MXU kernel.  Matches
-    ops.cross.cross_aggregate up to the bf16-split tolerance.
+def quantize_cost(cost: jnp.ndarray) -> jnp.ndarray:
+    """cost (f32, in [0, 2]) -> round(cost * QSCALE) as bf16-exact
+    integers in [0, 254].  The quantized band engine's single lossy step."""
+    return jnp.rint(cost.astype(F32) * F32(QSCALE)).astype(BF16)
 
-    Both eyes can be stacked along H into one call (see
-    cross_aggregate_band_lr): arms stop at their own image border by
-    construction, so no window ever crosses the eye boundary.
+
+def agg_rescale_shifts(max_arm: int):
+    """Power-of-2 rescale shifts (after passes 2 and 3) for the quantized
+    aggregation: the smallest shifts that keep every pass's input below
+    2^16 (two bf16-exact base-256 digits) and every accumulation below
+    2^24 (f32-exact).  Smaller arms need smaller shifts -> finer values.
+    """
+    import math
+    wmax = 2 * max_arm + 1
+    v1 = 254 * wmax                              # pass-1 output bound
+    s2 = max(0, math.ceil(math.log2(v1 * wmax / 65535.0)))
+    v2 = math.floor(v1 * wmax * 2.0 ** -s2 + 0.5)
+    s3 = max(0, math.ceil(math.log2(v2 * wmax / 65535.0)))
+    return s2, s3
+
+
+def band_aggregate_q(cost_q: jnp.ndarray, arms: jnp.ndarray, max_arm: int,
+                     zero_disp: int | None = None,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Four-pass cross aggregation (live order H,V,V,H, d_ca_cross.cu:
+    255-271) on a quantized (H, W, D) volume of integers <= 254 (see
+    quantize_cost), with exact integer arithmetic throughout; `max_arm`
+    (= usd <= 64) bounds the windows and fixes the rescale shifts.
+
+    With zero_disp set, WTA (first-min argmin, d_dc_wta.cu:24-34) is fused
+    into pass 4 and the return is the (H, W) f32 disparity map; otherwise
+    the final (H, W, D) aggregated volume (exact integers at scale
+    QSCALE / 2^(s2+s3) of the reference's unit) is returned.  Either way
+    the result is bit-identical under any row chunking or sharding.
     """
     from stereo_to_multiview_tpu.ops.cross import UP, DOWN, LEFT, RIGHT
-    a = band_span_sum_h(cost_hwd, arms[LEFT], arms[RIGHT],
-                        nsplit=nsplit, interpret=interpret)
-    a = band_span_sum_v(a, arms[UP], arms[DOWN],
-                        nsplit=nsplit, interpret=interpret)
-    a = band_span_sum_v(a, arms[UP], arms[DOWN],
-                        nsplit=nsplit, interpret=interpret)
-    a = band_span_sum_h(a, arms[LEFT], arms[RIGHT],
-                        nsplit=nsplit, interpret=interpret)
-    return a
+    if max_arm > _HALO:
+        raise ValueError("band aggregation requires max_arm (usd) <= 64")
+    s2, s3 = agg_rescale_shifts(max_arm)
+    a = _band_pass_h(cost_q, arms[LEFT], arms[RIGHT], mode="int", terms=1,
+                     interpret=interpret)
+    at = jnp.swapaxes(a, 0, 1)
+    at = _band_pass_h(at, arms[UP].T, arms[DOWN].T, mode="int", terms=2,
+                      rescale=s2, interpret=interpret)
+    at = _band_pass_h(at, arms[UP].T, arms[DOWN].T, mode="int", terms=2,
+                      rescale=s3, interpret=interpret)
+    a = jnp.swapaxes(at, 0, 1)
+    if zero_disp is None:
+        return _band_pass_h(a, arms[LEFT], arms[RIGHT], mode="int", terms=2,
+                            interpret=interpret)
+    return _band_pass_h(a, arms[LEFT], arms[RIGHT], mode="int", terms=2,
+                        wta=True, zero_disp=zero_disp, interpret=interpret)
+
+
+def cross_aggregate_band(cost_hwd: jnp.ndarray, arms: jnp.ndarray,
+                         nsplit: int = 2, interpret: bool = False,
+                         max_arm: int = _HALO) -> jnp.ndarray:
+    """Quantized four-pass cross aggregation of an (H, W, D) f32 cost
+    volume: quantize_cost then band_aggregate_q.  Returns the final
+    aggregated volume (exact integers; argmin-compatible with the
+    reference's f32 aggregate up to the initial 1/127 quantization and
+    the rescale rounding).  `nsplit` is accepted for API compatibility
+    and ignored (the integer path is exact)."""
+    del nsplit
+    return band_aggregate_q(quantize_cost(cost_hwd), arms, max_arm,
+                            interpret=interpret)
 
 
 def cross_aggregate_band_lr(cost_l, cost_r, arms_l, arms_r,
                             nsplit: int = 2, interpret: bool = False):
     """Aggregate both eyes in one four-pass sequence by stacking the
     volumes along H -- halves the kernel-call count (same FLOPs, less
-    per-call/grid fixed cost)."""
+    per-call/grid fixed cost).  Arms stop at their own image border by
+    construction, so no window ever crosses the eye boundary."""
     h = cost_l.shape[0]
     cost = jnp.concatenate([cost_l, cost_r], axis=0)
     arms = jnp.concatenate([arms_l, arms_r], axis=1)
@@ -223,7 +321,9 @@ def dr_irv_band_lr(disp_l, outl_l, disp_r, outl_r, arms_l, arms_r,
 # reach is bounded (2*usd for the two V passes, usd per IRV round), so the
 # frame is processed in row chunks with recomputed halos -- the same halo
 # arithmetic parallel.halo uses across chips, applied serially on one chip.
-# The full-resolution cost volume never exists in HBM.
+# The full-resolution cost volume never exists in HBM.  Because the
+# quantized aggregation is exact integer arithmetic, the chunked result is
+# bit-identical to the whole-frame result.
 # ---------------------------------------------------------------------------
 
 
@@ -243,10 +343,11 @@ def _chunk_bounds(h: int, chunk: int, halo: int):
 
 def band_stereo_core_chunked(img_l, img_r, arms_l, arms_r, cfg,
                              interpret: bool = False):
-    """Cost init + 4-pass aggregation + WTA for both eyes, streamed over
-    row chunks of cfg.band_row_chunk output rows.  Exact: each chunk's
-    halo (2*usd for the V passes, +3 rows of image for the census window)
-    is recomputed from the real neighboring rows.
+    """Cost init + 4-pass quantized aggregation + fused WTA for both eyes,
+    streamed over row chunks of cfg.band_row_chunk output rows.  Each
+    chunk's halo (2*usd for the V passes, +3 rows of image for the census
+    window) is recomputed from the real neighboring rows; the integer
+    aggregation makes the result bit-identical to the whole-frame run.
 
     Returns (disp_l, disp_r) float32.
     """
@@ -269,20 +370,19 @@ def band_stereo_core_chunked(img_l, img_r, arms_l, arms_r, cfg,
         c_lo = start - i0                  # cost rows inside the img slice
         cost_l, cost_r = ci_adcensus_kern(
             img_l[sl_img], img_r[sl_img], cfg.ad_coeff, cfg.census_coeff,
-            cfg.num_disp, cfg.zero_disp, interpret=interpret)
+            cfg.num_disp, cfg.zero_disp, quant=True, interpret=interpret)
         cost_l = cost_l[c_lo:c_lo + ext]
         cost_r = cost_r[c_lo:c_lo + ext]
 
         sl = slice(start, start + ext)
-        a_l, a_r = cross_aggregate_band_lr(
-            cost_l, cost_r, arms_l[:, sl], arms_r[:, sl],
-            cfg.band_nsplit, interpret)
+        cost = jnp.concatenate([cost_l, cost_r], axis=0)
+        arms = jnp.concatenate([arms_l[:, sl], arms_r[:, sl]], axis=1)
+        disp = band_aggregate_q(cost, arms, usd, zero_disp=cfg.zero_disp,
+                                interpret=interpret)
         n_valid = min(chunk, h - (start + lo))
         v = slice(lo, lo + n_valid)
-        disp_parts_l.append(
-            (jnp.argmin(a_l[v], axis=2) - cfg.zero_disp).astype(F32))
-        disp_parts_r.append(
-            (jnp.argmin(a_r[v], axis=2) - cfg.zero_disp).astype(F32))
+        disp_parts_l.append(disp[:ext][v])
+        disp_parts_r.append(disp[ext:][v])
     if len(disp_parts_l) == 1:
         return disp_parts_l[0], disp_parts_r[0]
     return (jnp.concatenate(disp_parts_l, axis=0),
@@ -296,15 +396,21 @@ def dr_irv_band_chunked(disp_l, outl_l, disp_r, outl_r, arms_l, arms_r,
     (ops.irvkern.irv_round_kern -- bit-identical to ops.irv.dr_irv).
     Both eyes stack along H (arms stop at their own image border, so no
     vote window crosses the eye seam for kept rows); every round reads
-    the full previous-round disparity/outlier state."""
+    the full previous-round disparity/outlier state.
+
+    Rounds run under a lax.while_loop with early termination: IRV accepts
+    only convert outliers to reliable pixels, so a round that changes no
+    label reaches the fixpoint and every further round is the identity --
+    skipping them is exact.  (The reference always runs the fixed count,
+    d_io.cu:147; outcome identical.)
+    """
     from stereo_to_multiview_tpu.ops.irvkern import irv_round_kern
     h = disp_l.shape[0]
     usd = cfg.usd
     chunk = cfg.band_row_chunk or h
     ext, bounds = _chunk_bounds(h, chunk, usd)
 
-    def one_round(state):
-        dl, ol, dr_, orr = state
+    def one_round(dl, ol, dr_, orr):
         parts = []
         for start, lo in bounds:
             sl = slice(start, start + ext)
@@ -323,10 +429,19 @@ def dr_irv_band_chunked(disp_l, outl_l, disp_r, outl_r, arms_l, arms_r,
         return tuple(jnp.concatenate([p[i] for p in parts], axis=0)
                      for i in range(4))
 
-    state = (disp_l, outl_l, disp_r, outl_r)
-    for _ in range(cfg.irv_iterations):
-        state = one_round(state)
-    dl, ol, dr_, orr = state
+    def cond(state):
+        _, _, _, _, it, changed = state
+        return jnp.logical_and(it < cfg.irv_iterations, changed)
+
+    def body(state):
+        dl, ol, dr_, orr, it, _ = state
+        ndl, nol, ndr, norr = one_round(dl, ol, dr_, orr)
+        changed = jnp.logical_or(jnp.any(nol != ol), jnp.any(norr != orr))
+        return (ndl, nol, ndr, norr, it + 1, changed)
+
+    state = (disp_l, outl_l, disp_r, outl_r, jnp.int32(0),
+             jnp.bool_(True))
+    dl, ol, dr_, orr, _, _ = jax.lax.while_loop(cond, body, state)
     return (dl, ol), (dr_, orr)
 
 
@@ -344,6 +459,9 @@ def dr_irv_band(disp: jnp.ndarray, outliers: jnp.ndarray, arms: jnp.ndarray,
     the reference's quirk of dividing the winning *disparity*.
     """
     from stereo_to_multiview_tpu.ops.cross import UP, DOWN, LEFT, RIGHT
+    if usd > _HALO:
+        raise ValueError("dr_irv_band requires usd <= 64 (256-wide kernel "
+                         "windows); use ops.irv.dr_irv for larger arms")
     up = jnp.minimum(arms[UP], usd)   # pre-kernel clamps U to sm padding
     down = arms[DOWN]
     left = arms[LEFT]

@@ -28,6 +28,7 @@ F32 = jnp.float32
 _LANE = 128
 _ROWS = 16
 _PAD = 128      # edge padding columns on each side of every plane
+_QSCALE = 127.0  # quantized-cost scale (ops.band.QSCALE)
 
 
 def _popcount(x: jnp.ndarray) -> jnp.ndarray:
@@ -57,7 +58,7 @@ def _window(chunks, lo: int):
 def _cost_kernel(lb, lg, lr, rb, rg, rr, clw0, clw1, crw0, crw1,
                  out_l, out_r, scratch_l, scratch_r,
                  *, num_disp: int, zero_disp: int,
-                 inv_ad: float, inv_cen: float):
+                 inv_ad: float, inv_cen: float, quant: bool):
     """One (8-row, 128-column) step.  Plane refs are (8, W + 256) i32,
     row-block resident; out refs are (8, 128, D) f32."""
     s = pl.program_id(1)
@@ -89,6 +90,8 @@ def _cost_kernel(lb, lg, lr, rb, rg, rr, clw0, clw1, crw0, crw1,
                + _popcount(cl_own[1] ^ _window(cr_ch[1], off_l)))
         cost = ((F32(1.0) - jnp.exp(-(ad.astype(F32) * third) * inv_ad))
                 + (F32(1.0) - jnp.exp(-ham.astype(F32) * inv_cen)))
+        if quant:
+            cost = jnp.rint(cost * F32(_QSCALE))
         scratch_l[d] = cost
 
         # right eye: other-eye (L) window at x - (d - zero_disp)
@@ -100,22 +103,29 @@ def _cost_kernel(lb, lg, lr, rb, rg, rr, clw0, clw1, crw0, crw1,
                + _popcount(cr_own[1] ^ _window(cl_ch[1], off_r)))
         cost = ((F32(1.0) - jnp.exp(-(ad.astype(F32) * third) * inv_ad))
                 + (F32(1.0) - jnp.exp(-ham.astype(F32) * inv_cen)))
+        if quant:
+            cost = jnp.rint(cost * F32(_QSCALE))
         scratch_r[d] = cost
 
     # (D, 8, 128x) scratch -> (8, 128x, D) output: 8 transposes per eye
     for r in range(_ROWS):
-        out_l[r] = scratch_l[:, r, :].T
-        out_r[r] = scratch_r[:, r, :].T
+        out_l[r] = scratch_l[:, r, :].T.astype(out_l.dtype)
+        out_r[r] = scratch_r[:, r, :].T.astype(out_r.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_disp", "zero_disp",
                                              "ad_coeff", "census_coeff",
-                                             "interpret"))
+                                             "quant", "interpret"))
 def ci_adcensus_kern(img_l: jnp.ndarray, img_r: jnp.ndarray,
                      ad_coeff: float, census_coeff: float,
-                     num_disp: int, zero_disp: int,
+                     num_disp: int, zero_disp: int, quant: bool = False,
                      interpret: bool = False):
-    """(H, W, 3) u8 pair -> ((H, W, D), (H, W, D)) f32 cost volumes.
+    """(H, W, 3) u8 pair -> ((H, W, D), (H, W, D)) cost volumes.
+
+    With quant=False, f32 costs matching ops.cost.ci_adcensus_hwd up to
+    exp rounding.  With quant=True, round(cost * 127) as bf16-exact
+    integers in [0, 254] -- the quantized band engine's cost volume
+    (ops.band.QSCALE; halves the HBM traffic of the volume).
 
     Requires num_disp <= 128 and zero_disp <= 128 (one neighbor chunk of
     reach on each side).
@@ -156,16 +166,17 @@ def ci_adcensus_kern(img_l: jnp.ndarray, img_r: jnp.ndarray,
                             lambda y, s: (y, s, 0),
                             memory_space=pltpu.VMEM)
 
+    out_dt = jnp.bfloat16 if quant else jnp.float32
     out_l, out_r = pl.pallas_call(
         functools.partial(_cost_kernel, num_disp=num_disp,
                           zero_disp=zero_disp,
                           inv_ad=float(1.0 / ad_coeff),
-                          inv_cen=float(1.0 / census_coeff)),
+                          inv_cen=float(1.0 / census_coeff), quant=quant),
         grid=grid,
         in_specs=[plane_spec] * 10,
         out_specs=(out_spec, out_spec),
-        out_shape=(jax.ShapeDtypeStruct((hp, wp, num_disp), jnp.float32),
-                   jax.ShapeDtypeStruct((hp, wp, num_disp), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((hp, wp, num_disp), out_dt),
+                   jax.ShapeDtypeStruct((hp, wp, num_disp), out_dt)),
         scratch_shapes=[pltpu.VMEM((num_disp, _ROWS, _LANE), jnp.float32),
                         pltpu.VMEM((num_disp, _ROWS, _LANE), jnp.float32)],
         compiler_params=pltpu.CompilerParams(

@@ -1,8 +1,8 @@
 """Pallas TPU kernels for iterative region voting (d_dr_irv.cu).
 
 The band-matmul IRV (ops.band.dr_irv_band) materializes a one-hot
-(H, W, D) volume, two span volumes and transposes per round -- ~435 ms of
-the 1080p frame.  These two kernels fuse the round:
+(H, W, D) volume, two span volumes and transposes per round.  These two
+kernels fuse the round:
 
   I1 `_rowspan_kernel`: builds each row's one-hot tile in VMEM straight
      from the disparity/outlier rows and contracts it with the L/R-arm
@@ -11,9 +11,19 @@ the 1080p frame.  These two kernels fuse the round:
   I2 `_vote_kernel`: the vertical pass in that transposed layout (bins on
      the MXU lanes, like the band kernel) with the histogram reduced
      *in-kernel*: running first-max winner, max count and total -- no
-     histogram volume ever exists.
+     histogram volume ever exists.  The row-span volume is row-resident
+     (one (8, H, B) block per grid step, windows taken by static slices),
+     so it is read once from HBM, not 3x.
 
-Both are integer-exact, so a full IRV round is bit-identical to
+Outlier-sparse skipping: votes only matter at outlier pixels, and IRV
+accepts only shrink the outlier set, so most blocks do nothing after the
+first round or two.  Both kernels take a scalar-prefetched per-block flag
+(any outlier within the block's influence region) and skip the MXU work
+when it is clear -- the rowspan writes zeros (cheap, and keeps NaN-free
+garbage out of downstream dots), the vote writes zero totals (total=0
+can never be accepted, matching the discarded value exactly).
+
+Both kernels are integer-exact, so a full IRV round is bit-identical to
 ops.irv.dr_irv / ops.band.dr_irv_band.
 """
 
@@ -29,67 +39,110 @@ from jax.experimental.pallas import tpu as pltpu
 F32 = jnp.float32
 BF16 = jnp.bfloat16
 _LANE = 128
-_ROWS = 32
-_PAD = 128
+_ROWS = 32    # rowspan image rows per grid step
+_VROWS = 8    # vote W-rows per grid step
+_PAD = 128    # x padding of the disparity rows (row-pass window reach)
+_HPAD = 64    # H padding of the row-span volume (vote window reach)
 
 
-def _rowspan_kernel(disp_ref, outl_ref, al_ref, ar_ref, out_ref,
-                    *, num_disp: int, zero_disp: int):
-    """One (8-row, 128-column) step: out (128x, 8row, B) bf16 row spans."""
+def _rowspan_kernel(flags_ref, disp_ref, outl_ref, al_ref, ar_ref, out_ref,
+                    *, num_disp: int, zero_disp: int, n_xt: int):
+    """One (32-row, 128-column) step: out (128x, 32row, B) bf16 row spans.
+    Skipped blocks (no outlier within vertical vote reach of these rows at
+    these columns) write zeros."""
+    y = pl.program_id(0)
     s = pl.program_id(1)
-    base = pl.multiple_of(s * _LANE, _LANE)
+    flag = flags_ref[y * n_xt + s]
 
-    # vote windows reach at most +-usd <= 64, so only the 256 columns
-    # [x0-64, x0+192) of the 384 chunk span feed the contraction
-    d_win = disp_ref[:, pl.ds(base, 3 * _LANE)]        # (R, 384)
-    o_win = outl_ref[:, pl.ds(base, 3 * _LANE)]
-    # output-pixel arms, sublane-oriented
-    an_t = al_ref[:, pl.ds(base + _PAD, _LANE)].T      # (128x, R)
-    ap_t = ar_ref[:, pl.ds(base + _PAD, _LANE)].T
+    @pl.when(flag != 0)
+    def _compute():
+        base = pl.multiple_of(s * _LANE, _LANE)
+        # vote windows reach at most +-usd <= 64, so only the 256 columns
+        # [x0-64, x0+192) of the 384 chunk span feed the contraction
+        d_win = disp_ref[:, pl.ds(base, 3 * _LANE)]        # (R, 384)
+        o_win = outl_ref[:, pl.ds(base, 3 * _LANE)]
+        # output-pixel arms, sublane-oriented
+        an_t = al_ref[:, pl.ds(base + _PAD, _LANE)].T      # (128x, R)
+        ap_t = ar_ref[:, pl.ds(base + _PAD, _LANE)].T
+        half = _LANE // 2
+        d_t = d_win.T[half:half + 2 * _LANE]               # (256i, R)
+        o_t = o_win.T[half:half + 2 * _LANE]
+
+        o = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 2 * _LANE), 0)
+        i = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 2 * _LANE), 1)
+        r_off = i - half - o
+        b_iota = jax.lax.broadcasted_iota(jnp.int32, (2 * _LANE, num_disp),
+                                          1)
+
+        for r in range(_ROWS):
+            an = an_t[:, r:r + 1]
+            ap = ap_t[:, r:r + 1]
+            band = ((r_off >= -an) & (r_off <= ap)).astype(BF16)  # (x, 256)
+            dint = d_t[:, r:r + 1].astype(jnp.int32)              # (256i, 1)
+            reli = o_t[:, r:r + 1] == 0
+            onehot = (reli & (dint + zero_disp == b_iota)).astype(BF16)
+            y_dot = jnp.dot(band, onehot, preferred_element_type=F32)
+            out_ref[:, r, :] = y_dot.astype(BF16)          # exact: <= 129
+
+    @pl.when(flag == 0)
+    def _zero():
+        out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+
+def _vote_kernel(vflags_ref, rs_ref, au_ref, ad_ref,
+                 win_ref, max_ref, tot_ref, *, num_disp: int, n_hseg: int,
+                 hp: int):
+    """One 8-W-row grid step in the (W, H, B) layout: vertical inclusive
+    span + in-kernel histogram reduction, looping the H tiles in-kernel
+    on a resident (8, H + 128, B) block.  rs_ref's first/last 64 H
+    columns are unwritten padding; they are masked before the dot.
+    Skipped H tiles (no outlier among their output pixels) write zero
+    totals (never accepted)."""
+    b = pl.program_id(0)
+
+    au_all = au_ref[:].T                 # (hp, VROWS)
+    ad_all = ad_ref[:].T
+
     half = _LANE // 2
-    d_t = d_win.T[half:half + 2 * _LANE]               # (256i, R)
-    o_t = o_win.T[half:half + 2 * _LANE]
-
     o = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 2 * _LANE), 0)
     i = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 2 * _LANE), 1)
     r_off = i - half - o
-    b_iota = jax.lax.broadcasted_iota(jnp.int32, (2 * _LANE, num_disp), 1)
+    j = jax.lax.broadcasted_iota(jnp.int32, (2 * _LANE, 1), 0)
 
-    for r in range(_ROWS):
-        an = an_t[:, r:r + 1]
-        ap = ap_t[:, r:r + 1]
-        band = ((r_off >= -an) & (r_off <= ap)).astype(BF16)  # (x, 256)
-        dint = d_t[:, r:r + 1].astype(jnp.int32)              # (256i, 1)
-        reli = o_t[:, r:r + 1] == 0
-        onehot = (reli & (dint + zero_disp == b_iota)).astype(BF16)
-        y = jnp.dot(band, onehot, preferred_element_type=F32)
-        out_ref[:, r, :] = y.astype(BF16)              # exact: <= 69
+    for s in range(n_hseg):
+        a0 = s * _LANE
+        flag = vflags_ref[b * n_hseg + s]
+
+        @pl.when(flag != 0)
+        def _compute(s=s, a0=a0):
+            for r in range(_VROWS):
+                an = au_all[a0:a0 + _LANE, r:r + 1]
+                ap = ad_all[a0:a0 + _LANE, r:r + 1]
+                band = ((r_off >= -an) & (r_off <= ap)).astype(BF16)
+                x = rs_ref[r, a0:a0 + 2 * _LANE, :]
+                if s == 0 or s == n_hseg - 1:
+                    valid = ((a0 + j >= _HPAD) & (a0 + j < _HPAD + hp))
+                    x = jnp.where(valid, x, jnp.zeros_like(x))
+                hist = jnp.dot(band, x, preferred_element_type=F32)
+                tot_ref[r, a0:a0 + _LANE] = jnp.sum(hist, axis=1)
+                max_ref[r, a0:a0 + _LANE] = jnp.max(hist, axis=1)
+                win_ref[r, a0:a0 + _LANE] = jnp.argmax(
+                    hist, axis=1).astype(jnp.int32)        # first max
+
+        @pl.when(flag == 0)
+        def _zero(a0=a0):
+            zf = jnp.zeros((_VROWS, _LANE), F32)
+            win_ref[:, a0:a0 + _LANE] = jnp.zeros((_VROWS, _LANE),
+                                                  jnp.int32)
+            max_ref[:, a0:a0 + _LANE] = zf
+            tot_ref[:, a0:a0 + _LANE] = zf
 
 
-def _vote_kernel(rs_m1, rs_0, rs_p1, au_ref, ad_ref,
-                 win_ref, max_ref, tot_ref, *, num_disp: int):
-    """One (8-W-row, 128-H-column) step in the (W, H, B) layout: vertical
-    inclusive span + in-kernel histogram reduction."""
-    s = pl.program_id(1)
-
-    au_t = au_ref[:, pl.ds(pl.multiple_of(s * _LANE, _LANE), _LANE)].T
-    ad_t = ad_ref[:, pl.ds(pl.multiple_of(s * _LANE, _LANE), _LANE)].T
-
-    half = _LANE // 2
-    o = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 2 * _LANE), 0)
-    i = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 2 * _LANE), 1)
-    r_off = i - half - o
-
-    for r in range(_ROWS):
-        an = au_t[:, r:r + 1]
-        ap = ad_t[:, r:r + 1]
-        band = ((r_off >= -an) & (r_off <= ap)).astype(BF16)
-        rs_cat = jnp.concatenate([rs_m1[r], rs_0[r], rs_p1[r]],
-                                 axis=0)[half:half + 2 * _LANE]
-        hist = jnp.dot(band, rs_cat, preferred_element_type=F32)
-        tot_ref[r] = jnp.sum(hist, axis=1)
-        max_ref[r] = jnp.max(hist, axis=1)
-        win_ref[r] = jnp.argmax(hist, axis=1).astype(jnp.int32)  # first max
+def _shift_rows(m: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Shift a 2D bool array along axis 0 by k (False fill)."""
+    if k > 0:
+        return jnp.pad(m, ((k, 0), (0, 0)))[:m.shape[0]]
+    return jnp.pad(m, ((0, -k), (0, 0)))[-k:]
 
 
 @functools.partial(jax.jit, static_argnames=("num_disp", "zero_disp",
@@ -118,54 +171,71 @@ def irv_round_kern(disp: jnp.ndarray, outliers: jnp.ndarray,
     au = pad_hw(jnp.minimum(arms[UP], usd).astype(jnp.int32), 0)
     ad_ = pad_hw(arms[DOWN].astype(jnp.int32), 0)
 
+    # --- per-block outlier flags (pads are non-outliers: their votes are
+    # discarded, so blocks they alone touch can skip) ---
+    need = jnp.pad(outliers != 0, ((0, hp - h), (0, wp - w)))
+    n_yb, n_xt = hp // _ROWS, wp // _LANE
+    m = need.reshape(n_yb, _ROWS, n_xt, _LANE).any(axis=(1, 3))
+    md = m
+    for k in range(1, -(-usd // _ROWS) + 1):
+        md = md | _shift_rows(m, k) | _shift_rows(m, -k)
+    rflags = md.astype(jnp.int32).reshape(-1)
+
+    n_xb, n_hseg = wp // _VROWS, hp // _LANE
+    m2 = need.reshape(n_hseg, _LANE, n_xb, _VROWS).any(axis=(1, 3)).T
+    vflags = m2.astype(jnp.int32).reshape(-1)
+
     # x-neighbor reach for the row pass
     dx = jnp.pad(disp_p, ((0, 0), (_PAD, _PAD)))
     ox = jnp.pad(outl_p, ((0, 0), (_PAD, _PAD)), constant_values=1)
     alx = jnp.pad(al, ((0, 0), (_PAD, _PAD)))
     arx = jnp.pad(ar, ((0, 0), (_PAD, _PAD)))
 
-    row_spec = pl.BlockSpec((_ROWS, wp + 2 * _PAD), lambda y, s: (y, 0),
+    row_spec = pl.BlockSpec((_ROWS, wp + 2 * _PAD), lambda y, s, f: (y, 0),
                             memory_space=pltpu.VMEM)
+    hoff = _HPAD // _ROWS
     rs = pl.pallas_call(
         functools.partial(_rowspan_kernel, num_disp=num_disp,
-                          zero_disp=zero_disp),
-        grid=(hp // _ROWS, wp // _LANE),
-        in_specs=[row_spec] * 4,
-        out_specs=pl.BlockSpec((_LANE, _ROWS, num_disp),
-                               lambda y, s: (s, y, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((wp, hp, num_disp), BF16),
+                          zero_disp=zero_disp, n_xt=n_xt),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_yb, n_xt),
+            in_specs=[row_spec] * 4,
+            out_specs=pl.BlockSpec((_LANE, _ROWS, num_disp),
+                                   lambda y, s, f: (s, y + hoff, 0),
+                                   memory_space=pltpu.VMEM)),
+        out_shape=jax.ShapeDtypeStruct((wp, hp + 2 * _HPAD, num_disp),
+                                       BF16),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
-    )(dx, ox, alx, arx)
+    )(rflags, dx, ox, alx, arx)
 
     # vertical pass + reduce, in the (W, H, B) layout
     au_t = au.T                        # (W, H)
     ad_t = ad_.T
-    n_hseg = hp // _LANE
 
-    def rs_at(delta):
-        def idx(y, s):
-            return (y, jnp.clip(s + delta, 0, n_hseg - 1), 0)
-        return pl.BlockSpec((_ROWS, _LANE, num_disp), idx,
+    rs_spec = pl.BlockSpec((_VROWS, hp + 2 * _HPAD, num_disp),
+                           lambda b, f: (b, 0, 0), memory_space=pltpu.VMEM)
+    arm_spec = pl.BlockSpec((_VROWS, hp), lambda b, f: (b, 0),
                             memory_space=pltpu.VMEM)
-
-    arm_spec = pl.BlockSpec((_ROWS, hp), lambda y, s: (y, 0),
+    out_spec = pl.BlockSpec((_VROWS, hp), lambda b, f: (b, 0),
                             memory_space=pltpu.VMEM)
     win_t, max_t, tot_t = pl.pallas_call(
-        functools.partial(_vote_kernel, num_disp=num_disp),
-        grid=(wp // _ROWS, n_hseg),
-        in_specs=[rs_at(-1), rs_at(0), rs_at(1), arm_spec, arm_spec],
-        out_specs=(pl.BlockSpec((_ROWS, _LANE), lambda y, s: (y, s),
-                                memory_space=pltpu.VMEM),) * 3,
+        functools.partial(_vote_kernel, num_disp=num_disp, n_hseg=n_hseg,
+                          hp=hp),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_xb,),
+            in_specs=[rs_spec, arm_spec, arm_spec],
+            out_specs=(out_spec,) * 3),
         out_shape=(jax.ShapeDtypeStruct((wp, hp), jnp.int32),
                    jax.ShapeDtypeStruct((wp, hp), jnp.float32),
                    jax.ShapeDtypeStruct((wp, hp), jnp.float32)),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(rs, rs, rs, au_t, ad_t)
+    )(vflags, rs, au_t, ad_t)
 
     winner = win_t.T[:h, :w]
     max_bin = max_t.T[:h, :w]

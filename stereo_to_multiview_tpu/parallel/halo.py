@@ -136,6 +136,10 @@ def halo_process_frame(mesh: Mesh, cfg: PipelineConfig,
         raise ValueError(
             f"shard height {rows_loc} smaller than the largest halo "
             f"{max_halo}; use fewer devices or a taller frame")
+    from stereo_to_multiview_tpu.models.pipeline import _use_band
+    if _use_band(cfg) and usd > 64:
+        raise ValueError("band engine requires usd <= 64 (256-wide kernel "
+                         "windows); set engine='xla' for larger arms")
 
     def shard_fn(sbs):
         axis = row_axis
@@ -156,19 +160,15 @@ def halo_process_frame(mesh: Mesh, cfg: PipelineConfig,
         arms_r = ops.cross_arms(ext_r, cfg.ucd, cfg.lcd, usd, cfg.lsd,
                                 row_offset=ext_row0, global_h=cfg.num_rows)
         if band:
-            from stereo_to_multiview_tpu.ops.band import cross_aggregate_band
-            from stereo_to_multiview_tpu.ops.cost import ci_adcensus_hwd
-            cost_l, cost_r = ci_adcensus_hwd(
-                ext_l, ext_r, cfg.ad_coeff, cfg.census_coeff,
-                cfg.num_disp, cfg.zero_disp)
-            acost_l = cross_aggregate_band(cost_l, arms_l, cfg.band_nsplit,
-                                           interpret)
-            acost_r = cross_aggregate_band(cost_r, arms_r, cfg.band_nsplit,
-                                           interpret)
-            disp_l = (jnp.argmin(acost_l, axis=2)
-                      - cfg.zero_disp).astype(F32)
-            disp_r = (jnp.argmin(acost_r, axis=2)
-                      - cfg.zero_disp).astype(F32)
+            # Same Pallas kernels + quantized integer aggregation as the
+            # single-device band engine (ops.band.band_stereo_core_chunked)
+            # run per shard on the extended domain.  Exact integer sums
+            # make the result bit-identical to the unsharded run: the
+            # shard origin only regroups accumulations.
+            from stereo_to_multiview_tpu.ops.band import (
+                band_stereo_core_chunked)
+            disp_l, disp_r = band_stereo_core_chunked(
+                ext_l, ext_r, arms_l, arms_r, cfg, interpret)
         else:
             cost_l, cost_r = ops.ci_adcensus(
                 ext_l, ext_r, cfg.ad_coeff, cfg.census_coeff,
@@ -249,10 +249,20 @@ def halo_process_frame(mesh: Mesh, cfg: PipelineConfig,
                 # f32 like the reference (d_io.cu:189) and the dyn path
                 shift = float(np.float32(1.0)
                               - np.float32(v_i) / np.float32(v - 1.0))
-                a = dibr_backward_warp(img_l, mask_r, disp_r, -shift,
-                                       cfg.num_disp, cfg.zero_disp)
-                b = dibr_backward_warp(img_r, mask_l, disp_l, 1.0 - shift,
-                                       cfg.num_disp, cfg.zero_disp)
+                if band:
+                    from stereo_to_multiview_tpu.ops.warpkern import (
+                        dibr_warp_pair_kern)
+                    va, vb = dibr_warp_pair_kern(
+                        img_l, img_r, disp_l, disp_r, shift,
+                        cfg.num_disp, cfg.zero_disp, interpret)
+                    a = (va * mask_r[:, :, None]).astype(jnp.uint8)
+                    b = (vb * mask_l[:, :, None]).astype(jnp.uint8)
+                else:
+                    a = dibr_backward_warp(img_l, mask_r, disp_r, -shift,
+                                           cfg.num_disp, cfg.zero_disp)
+                    b = dibr_backward_warp(img_r, mask_l, disp_l,
+                                           1.0 - shift,
+                                           cfg.num_disp, cfg.zero_disp)
                 mids.append(mux_merge_ab(a, b, feathered))
             views = (jnp.stack([img_r] + mids + [img_l]) if v > 2
                      else jnp.stack([img_r, img_l]))
@@ -287,12 +297,13 @@ def halo_process_frame(mesh: Mesh, cfg: PipelineConfig,
     from jax import shard_map
     spec3 = P(row_axis, None, None)
     spec2 = P(row_axis, None)
-    # check_vma off: with a view axis the disparities are computed
-    # replicated along it (and the psum'd interlace is identical), which
-    # the replication checker cannot see through.
+    # check_vma off in two cases the varying-axis checker cannot see
+    # through: (a) a view axis, where the disparities are computed
+    # replicated along it (and the psum'd interlace is identical);
+    # (b) the band engine, whose pallas_call outputs carry no vma info.
     fn = shard_map(shard_fn, mesh=mesh, in_specs=(spec3,),
                    out_specs=(spec2, spec2, spec3),
-                   check_vma=view_axis is None)
+                   check_vma=view_axis is None and not _use_band(cfg))
     return jax.jit(fn)
 
 
@@ -302,6 +313,7 @@ def _irv_xla_iter(disp, outl, arms, cfg, interpret):
 
 
 def _irv_band_iter(disp, outl, arms, cfg, interpret):
-    from stereo_to_multiview_tpu.ops.band import dr_irv_band
-    return dr_irv_band(disp, outl, arms, cfg.irv_thresh_s, cfg.irv_thresh_h,
-                       cfg.num_disp, cfg.zero_disp, cfg.usd, 1, interpret)
+    from stereo_to_multiview_tpu.ops.irvkern import irv_round_kern
+    return irv_round_kern(disp, outl, arms, cfg.irv_thresh_s,
+                          cfg.irv_thresh_h, cfg.num_disp, cfg.zero_disp,
+                          cfg.usd, interpret)

@@ -68,18 +68,37 @@ def test_band_binary_exact(vol_arms, rng):
     np.testing.assert_array_equal(_np(jnp.moveaxis(ref, 0, 2)), _np(out))
 
 
-def test_cross_aggregate_band_matches(stereo_pair):
+def test_cross_aggregate_band_matches_quantized_golden(stereo_pair):
+    """The quantized band aggregation is bit-exact against the NumPy
+    golden of its integer pipeline."""
+    from stereo_to_multiview_tpu.golden import stages as G
     left, _ = stereo_pair
     img = jnp.asarray(left)
     usd, lsd = 9, 4
     arms = ops.cross_arms(img, 6.0, 20.0, usd, lsd)
     cost_dhw, _ = ops.ci_adcensus(img, jnp.asarray(np.roll(left, -2, 1)),
                                   10.0, 30.0, 12, 6)
-    ref = ops.cross_aggregate(cost_dhw, arms, max_arm=usd)
+    ref = G.cross_aggregate_q(_np(cost_dhw), _np(arms), usd)
     out = cross_aggregate_band(jnp.moveaxis(cost_dhw, 0, 2), arms,
-                               nsplit=3, interpret=True)
-    ref = _np(jnp.moveaxis(ref, 0, 2))
-    np.testing.assert_allclose(ref, _np(out), rtol=2e-5, atol=2e-3)
+                               interpret=True, max_arm=usd)
+    np.testing.assert_array_equal(np.moveaxis(ref, 0, 2), _np(out))
+
+
+def test_quantized_agg_argmin_close_to_f32(stereo_pair):
+    """Quantization (1/127 cost units + two bounded rescale roundings)
+    flips the WTA argmin only at near-ties -- the disparity maps stay
+    close to the exact-f32 aggregation's."""
+    left, _ = stereo_pair
+    img = jnp.asarray(left)
+    usd, lsd = 9, 4
+    arms = ops.cross_arms(img, 6.0, 20.0, usd, lsd)
+    cost_dhw, _ = ops.ci_adcensus(img, jnp.asarray(np.roll(left, -2, 1)),
+                                  10.0, 30.0, 12, 6)
+    ref = ops.dc_wta(ops.cross_aggregate(cost_dhw, arms, max_arm=usd), 6)
+    out_vol = cross_aggregate_band(jnp.moveaxis(cost_dhw, 0, 2), arms,
+                                   interpret=True, max_arm=usd)
+    out = (jnp.argmin(out_vol, axis=2) - 6).astype(jnp.float32)
+    assert np.mean(_np(ref) != _np(out)) < 0.02
 
 
 def test_dr_irv_band_bit_exact(stereo_pair, rng):
@@ -110,9 +129,9 @@ def test_ci_adcensus_hwd_matches_dhw(stereo_pair):
 
 
 def test_chunked_core_matches_unchunked(stereo_pair):
-    """Row-chunked stereo core vs whole-frame: IRV is exact; aggregation
-    differs only in MXU accumulation grouping at chunk boundaries, so
-    disparities may flip on exact near-ties (rare)."""
+    """Row-chunked stereo core vs whole-frame: bit-exact.  The quantized
+    aggregation is exact integer arithmetic, so the V-pass tile origin
+    shift introduced by chunking cannot change any sum or argmin."""
     from stereo_to_multiview_tpu.config import PipelineConfig
     from stereo_to_multiview_tpu.ops.band import (
         band_stereo_core_chunked, dr_irv_band_chunked, dr_irv_band_lr)
@@ -132,8 +151,8 @@ def test_chunked_core_matches_unchunked(stereo_pair):
                                         interpret=True)
     dcl, dcr = band_stereo_core_chunked(l, r, arms_l, arms_r, cfg_chunk,
                                         interpret=True)
-    assert np.mean(_np(dwl) != _np(dcl)) < 0.02
-    assert np.mean(_np(dwr) != _np(dcr)) < 0.02
+    np.testing.assert_array_equal(_np(dwl), _np(dcl))
+    np.testing.assert_array_equal(_np(dwr), _np(dcr))
 
     rng2 = np.random.default_rng(5)
     outl = jnp.asarray((rng2.random((h, w)) < 0.4).astype(np.uint8))
@@ -145,6 +164,61 @@ def test_chunked_core_matches_unchunked(stereo_pair):
     for a, b in zip(ref, got):
         np.testing.assert_array_equal(_np(a[0]), _np(b[0]))
         np.testing.assert_array_equal(_np(a[1]), _np(b[1]))
+
+
+def test_irv_round_kern_matches_dr_irv(stereo_pair, rng):
+    """Direct unit test for the fused IRV round kernels (rowspan + vote,
+    with outlier-sparse block skipping): bit-identical to ops.irv.dr_irv
+    for one round, including padded-edge rows."""
+    from stereo_to_multiview_tpu.ops.irvkern import irv_round_kern
+    left, _ = stereo_pair
+    img = jnp.asarray(left)
+    usd, lsd, nd, zd = 9, 4, 12, 6
+    arms = ops.cross_arms(img, 6.0, 20.0, usd, lsd)
+    h, w = left.shape[:2]
+    disp = jnp.asarray(
+        rng.integers(-zd, nd - zd, (h, w)).astype(np.float32))
+    # sparse outliers: exercises skipped blocks alongside active ones
+    outl = jnp.asarray((rng.random((h, w)) < 0.05).astype(np.uint8))
+
+    ref_d, ref_o = ops.dr_irv(disp, outl, arms, 5, 0.4, nd, zd, usd, 1)
+    out_d, out_o = irv_round_kern(disp, outl, arms, 5, 0.4, nd, zd, usd,
+                                  interpret=True)
+    np.testing.assert_array_equal(_np(ref_d), _np(out_d))
+    np.testing.assert_array_equal(_np(ref_o), _np(out_o))
+
+    # all-reliable input: every block skips, nothing may change
+    zero = jnp.zeros((h, w), jnp.uint8)
+    out_d2, out_o2 = irv_round_kern(disp, zero, arms, 5, 0.4, nd, zd, usd,
+                                    interpret=True)
+    np.testing.assert_array_equal(_np(disp), _np(out_d2))
+    np.testing.assert_array_equal(_np(zero), _np(out_o2))
+
+
+def test_warp_pair_kern_matches_xla(stereo_pair, rng):
+    """DIBR warp-pair Pallas kernel vs ops.dibr.dibr_backward_warp
+    (ADVICE round 1): same warped views after the mask multiply."""
+    from stereo_to_multiview_tpu.ops.warpkern import dibr_warp_pair_kern
+    from stereo_to_multiview_tpu.ops.dibr import dibr_backward_warp
+    left, right = stereo_pair
+    l, r = jnp.asarray(left), jnp.asarray(right)
+    h, w = left.shape[:2]
+    nd, zd = 12, 6
+    disp_l = jnp.asarray(
+        rng.integers(-zd, nd - zd, (h, w)).astype(np.float32))
+    disp_r = jnp.asarray(
+        rng.integers(-zd, nd - zd, (h, w)).astype(np.float32))
+    mask_l = jnp.asarray((rng.random((h, w)) < 0.8).astype(np.float32))
+    mask_r = jnp.asarray((rng.random((h, w)) < 0.8).astype(np.float32))
+    for shift in (0.25, 0.5, 0.875):
+        va, vb = dibr_warp_pair_kern(l, r, disp_l, disp_r, shift, nd, zd,
+                                     interpret=True)
+        got_a = (va * mask_r[:, :, None]).astype(jnp.uint8)
+        got_b = (vb * mask_l[:, :, None]).astype(jnp.uint8)
+        ref_a = dibr_backward_warp(l, mask_r, disp_r, -shift, nd, zd)
+        ref_b = dibr_backward_warp(r, mask_l, disp_l, 1.0 - shift, nd, zd)
+        np.testing.assert_array_equal(_np(ref_a), _np(got_a))
+        np.testing.assert_array_equal(_np(ref_b), _np(got_b))
 
 
 def test_band_engine_pipeline_close(stereo_pair):

@@ -117,6 +117,37 @@ def test_halo_view_sharded_matches_row_only(mesh):
     np.testing.assert_array_equal(ref[2], out[2])
 
 
+def test_halo_band_engine_exact(mesh):
+    """Band engine (Pallas kernels, quantized integer aggregation) under
+    shard_map vs the single-device band pipeline: bit-exact.  Integer
+    sums are grouping-invariant, so the shard origin cannot change any
+    aggregate, vote, or argmin; every other stage gets its full stencil
+    from the exchanged halos."""
+    rng = np.random.default_rng(11)
+    h, w = 96, 64
+    base = rng.integers(0, 256, (h, w + 8, 3)).astype(np.float32)
+    k = np.ones(3) / 3.0
+    for ax in (0, 1):
+        base = np.apply_along_axis(
+            lambda m: np.convolve(m, k, mode="same"), ax, base)
+    left = base[:, :w].astype(np.uint8)
+    right = base[:, 4:4 + w].astype(np.uint8)
+    sbs = np.concatenate([left, right], axis=1)
+
+    cfg = PipelineConfig(num_rows=h, num_cols=w, num_rows_out=h,
+                         num_cols_out=w, num_disp=8, zero_disp=4,
+                         usd=7, lsd=3, irv_iterations=2,
+                         bilateral_radius=2, feather_radius=3,
+                         num_views=4, engine="band")
+
+    ref_dl, ref_dr, ref_il = map(np.asarray, process_frame(sbs, cfg))
+    fn = halo_process_frame(mesh, cfg)
+    out_dl, out_dr, out_il = map(np.asarray, fn(sbs))
+    np.testing.assert_array_equal(ref_dl, out_dl)
+    np.testing.assert_array_equal(ref_dr, out_dr)
+    np.testing.assert_array_equal(ref_il, out_il)
+
+
 def test_halo_rejects_bad_geometry(mesh):
     cfg = PipelineConfig(num_rows=97, num_cols=64, num_rows_out=97,
                          num_cols_out=64, num_disp=8, zero_disp=4)
