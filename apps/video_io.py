@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Streaming demo -- the reference's video_io (video_io.cpp:42-224) without
-OpenCV: frames come from a directory of SBS BMPs (or stitched L/R pairs),
-each frame runs the fused adcensus_stm-analog graph, per-frame latency is
-printed, and selected outputs are written as PNG.
+OpenCV: frames come from a Y4M video file (*.y4m -- real video ingestion,
+`ffmpeg -i in.mp4 out.y4m`) or a directory of SBS BMPs (or stitched L/R
+pairs).  Each frame runs the fused adcensus_stm-analog graph, per-frame
+latency is printed, and selected outputs are written as PNG.
 
 Positional parameters mirror the reference CLI:
   video_io.py VIDEO NVIEWS ANGLE OUT_W OUT_H NDISP ZERODISP AD_COEFF
@@ -66,11 +67,18 @@ def main(argv=None):
     path = args.video
     if not os.path.exists(path) and not glob_has(path):
         path = os.path.join(args.vid_dir, args.video)
-    src = FrameSource(path, pair_mode=args.pair_mode,
-                      loop=not args.no_loop, max_frames=args.frames)
-    first = next(iter(FrameSource(path, pair_mode=args.pair_mode,
-                                  loop=False, max_frames=1)))
-    h, w_sbs = first.shape[:2]
+    if path.endswith(".y4m"):
+        # real video ingestion (analog of video_io.cpp:77 VideoCapture)
+        from stereo_to_multiview_tpu.models.stream import Y4MSource
+        src = Y4MSource(path, loop=not args.no_loop,
+                        max_frames=args.frames)
+        h, w_sbs = src.h, src.w
+    else:
+        src = FrameSource(path, pair_mode=args.pair_mode,
+                          loop=not args.no_loop, max_frames=args.frames)
+        first = next(iter(FrameSource(path, pair_mode=args.pair_mode,
+                                      loop=False, max_frames=1)))
+        h, w_sbs = first.shape[:2]
     w = w_sbs // 2
     print(f"Input Width (SBS):  {w_sbs}")
     print(f"Input Width:        {w}")

@@ -283,4 +283,97 @@ void stm_queue_destroy(void* vq) {
   delete q;
 }
 
+// ---------------------------------------------------------------------------
+// Y4M (YUV4MPEG2) reader: container-free video ingestion -- the TPU-native
+// analog of the reference's cv::VideoCapture path (video_io.cpp:77,148).
+// Supports C420* (any cositing tag; nearest chroma upsample), C422, C444,
+// 8-bit.  Output is BGR uint8 via integer BT.601 limited-range conversion
+// (bit-identical to the Python fallback in utils/y4m.py).
+// ---------------------------------------------------------------------------
+
+struct Y4MReader {
+  FILE* f = nullptr;
+  long data_start = 0;
+  int32_t w = 0, h = 0;
+  int cs = 420;  // chroma layout: 420, 422 or 444
+  std::vector<uint8_t> planes;
+};
+
+static size_t y4m_frame_bytes(const Y4MReader* r) {
+  size_t y = (size_t)r->w * r->h;
+  if (r->cs == 444) return 3 * y;
+  if (r->cs == 422) return 2 * y;
+  return y + 2 * ((size_t)((r->w + 1) / 2) * ((r->h + 1) / 2));
+}
+
+void* stm_y4m_open(const char* path, int32_t* w, int32_t* h) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  char line[512];
+  if (!fgets(line, sizeof(line), f)) { fclose(f); return nullptr; }
+  if (strncmp(line, "YUV4MPEG2", 9) != 0) { fclose(f); return nullptr; }
+  Y4MReader* r = new Y4MReader();
+  r->f = f;
+  for (char* tok = strtok(line + 9, " \n"); tok; tok = strtok(nullptr, " \n")) {
+    if (tok[0] == 'W') r->w = atoi(tok + 1);
+    else if (tok[0] == 'H') r->h = atoi(tok + 1);
+    else if (tok[0] == 'C') {
+      if (strncmp(tok + 1, "444", 3) == 0) r->cs = 444;
+      else if (strncmp(tok + 1, "422", 3) == 0) r->cs = 422;
+      else r->cs = 420;  // C420, C420jpeg, C420mpeg2, C420paldv
+    }
+  }
+  if (r->w <= 0 || r->h <= 0) { fclose(f); delete r; return nullptr; }
+  r->data_start = ftell(f);
+  r->planes.resize(y4m_frame_bytes(r));
+  *w = r->w;
+  *h = r->h;
+  return r;
+}
+
+static inline uint8_t clip8(int v) {
+  return (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
+}
+
+// 0 ok / 1 eof / <0 error.  bgr: (h, w, 3) uint8.
+int stm_y4m_next(void* vr, uint8_t* bgr) {
+  Y4MReader* r = (Y4MReader*)vr;
+  char line[512];
+  if (!fgets(line, sizeof(line), r->f)) return 1;
+  if (strncmp(line, "FRAME", 5) != 0) return -2;
+  if (fread(r->planes.data(), 1, r->planes.size(), r->f) != r->planes.size())
+    return -3;
+  int32_t w = r->w, h = r->h;
+  int cw = (r->cs == 444) ? w : (w + 1) / 2;
+  int ch = (r->cs == 420) ? (h + 1) / 2 : h;
+  const uint8_t* yp = r->planes.data();
+  const uint8_t* up = yp + (size_t)w * h;
+  const uint8_t* vp = up + (size_t)cw * ch;
+  for (int32_t yy = 0; yy < h; ++yy) {
+    int cy = (r->cs == 420) ? (yy >> 1) : yy;
+    for (int32_t xx = 0; xx < w; ++xx) {
+      int cx = (r->cs == 444) ? xx : (xx >> 1);
+      int C = (int)yp[(size_t)yy * w + xx] - 16;
+      int D = (int)up[(size_t)cy * cw + cx] - 128;
+      int E = (int)vp[(size_t)cy * cw + cx] - 128;
+      uint8_t* px = bgr + 3 * ((size_t)yy * w + xx);
+      px[0] = clip8((298 * C + 516 * D + 128) >> 8);           // B
+      px[1] = clip8((298 * C - 100 * D - 208 * E + 128) >> 8);  // G
+      px[2] = clip8((298 * C + 409 * E + 128) >> 8);           // R
+    }
+  }
+  return 0;
+}
+
+void stm_y4m_rewind(void* vr) {
+  Y4MReader* r = (Y4MReader*)vr;
+  fseek(r->f, r->data_start, SEEK_SET);
+}
+
+void stm_y4m_close(void* vr) {
+  Y4MReader* r = (Y4MReader*)vr;
+  if (r->f) fclose(r->f);
+  delete r;
+}
+
 }  // extern "C"

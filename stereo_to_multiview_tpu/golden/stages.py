@@ -18,7 +18,8 @@ __all__ = [
     "UP", "DOWN", "LEFT", "RIGHT",
     "demux_sbs", "demux_rgb", "mux_average", "mux_merge_ab",
     "census_transform_9x7", "ci_ad", "ci_census", "ci_adcensus_combine",
-    "ci_adcensus", "cross_arms", "cross_aggregate", "dc_wta", "dr_dcc",
+    "ci_adcensus", "cross_arms", "cross_aggregate", "cross_aggregate_q",
+    "dc_wta", "dc_hslo", "dr_dcc",
     "dr_irv", "filter_bilateral", "filter_gaussian_lift", "filter_bleed",
     "filter_median", "dibr_occl", "dibr_occl_to_mask", "dibr_backward_warp",
     "dibr_dbm", "dibr_forward_warp", "op_invertnormf", "mux_multiview",
@@ -272,6 +273,59 @@ def cross_aggregate_q(cost: np.ndarray, arms: np.ndarray,
 # ---------------------------------------------------------------------------
 # disparity computation / refinement
 # ---------------------------------------------------------------------------
+
+def dc_hslo(cost: np.ndarray, gray_l: np.ndarray, gray_r: np.ndarray,
+            num_disp: int, zero_disp: int, T: float, H1: float, H2: float,
+            sign: int = +1) -> np.ndarray:
+    """Golden for the horizontal scanline optimization (ops.hslo.dc_hslo).
+
+    The reference's d_dc_hslo.cu is an inert stub, but its penalty scheme
+    is real (dc_hslo_h_cdiff_kernel, d_dc_hslo.cu:73-93): P1/P2 tiers
+    keyed on the color gradients of both images at the matching columns
+    (full / one-quarter / one-tenth strength).  This transcribes the DP
+    those penalties set up -- the AD-Census SO recurrence along rows,
+    both directions, averaged -- in explicit per-column f32 NumPy with the
+    exact operation order of the lax.scan, so the jit path must match bit
+    for bit.  cost: (D, H, W); sign=+1 left eye, -1 right.
+    """
+    dd, h, w = cost.shape
+    own = (gray_r if sign < 0 else gray_l).astype(F32)
+    oth = (gray_l if sign < 0 else gray_r).astype(F32)
+    idx = np.arange(w)
+    xm1 = np.clip(idx - 1, 0, w - 1)
+    d1 = np.abs(own - own[:, xm1])
+    d2f = np.abs(oth - oth[:, xm1])
+    d2 = np.stack([d2f[:, np.clip(idx + sign * (k - zero_disp), 0, w - 1)]
+                   for k in range(num_disp)])
+    small1 = d1[None] < np.float32(T)
+    small2 = d2 < np.float32(T)
+    scale = np.where(small1 & small2, np.float32(1.0),
+                     np.where(small1 | small2, np.float32(0.25),
+                              np.float32(0.1)))
+    p1 = np.float32(H1) * scale
+    p2 = np.float32(H2) * scale
+    big = np.float32(1e30)
+
+    def scan(reverse):
+        out = np.empty_like(cost, dtype=F32)
+        cols = range(w - 1, -1, -1) if reverse else range(w)
+        prev = None
+        for x in cols:
+            if prev is None:
+                cur = cost[:, :, x].astype(F32)
+            else:
+                mn = prev.min(axis=0, keepdims=True)
+                up = np.concatenate([prev[1:], np.full((1, h), big, F32)])
+                dn = np.concatenate([np.full((1, h), big, F32), prev[:-1]])
+                best = np.minimum(np.minimum(prev, mn + p2[:, :, x]),
+                                  np.minimum(up, dn) + p1[:, :, x])
+                cur = (cost[:, :, x] + best) - mn
+            out[:, :, x] = cur
+            prev = cur
+        return out
+
+    return (scan(False) + scan(True)) * np.float32(0.5)
+
 
 def dc_wta(cost: np.ndarray, zero_disp: int) -> np.ndarray:
     """First-minimum argmin over D; disp = argmin - zero_disp (float).

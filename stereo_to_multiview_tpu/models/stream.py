@@ -25,8 +25,9 @@ class FrameSource:
 
     Accepted layouts:
       * directory of SBS frames:     frame_000.bmp, frame_001.bmp, ...
-      * directory of L/R pairs:      <stem>_1.bmp/<stem>_2.bmp style pairs
-        stitched into SBS (pair mode: consecutive sorted files are L, R).
+      * directory of L/R pairs:      sorted files taken two at a time as
+        non-overlapping (L, R) pairs -- (f0, f1), (f2, f3), ... --
+        stitched into SBS (pair mode).
     """
 
     def __init__(self, path: str, pair_mode: bool = False,
@@ -44,7 +45,7 @@ class FrameSource:
 
     def _frame_list(self) -> List:
         if self.pair_mode:
-            return list(zip(self.files[:-1], self.files[1:]))
+            return list(zip(self.files[0::2], self.files[1::2]))
         return self.files
 
     def __iter__(self) -> Iterator[np.ndarray]:
@@ -67,6 +68,43 @@ class FrameSource:
                 return
 
 
+class Y4MSource:
+    """SBS frame source from a Y4M video file -- the analog of the
+    reference's cv::VideoCapture loop (video_io.cpp:77,148-153), including
+    looping at EOF.  Uses the native C++ reader when the toolchain is
+    available, the NumPy fallback otherwise (bit-identical output)."""
+
+    def __init__(self, path: str, loop: bool = True,
+                 max_frames: Optional[int] = None):
+        self.path = path
+        self.loop = loop
+        self.max_frames = max_frames
+        self._reader = self._open()
+        self.h, self.w = self._reader.h, self._reader.w
+
+    def _open(self):
+        from stereo_to_multiview_tpu import native as _native
+        if _native.available():
+            return _native.NativeY4M(self.path)
+        from stereo_to_multiview_tpu.utils.y4m import Y4MReader
+        return Y4MReader(self.path)
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        n = 0
+        r = self._reader
+        while True:
+            fr = r.read_frame()
+            if fr is None:
+                if not self.loop or n == 0:
+                    return
+                r.rewind()
+                continue
+            yield fr
+            n += 1
+            if self.max_frames is not None and n >= self.max_frames:
+                return
+
+
 def native_source(path: str, pair_mode: bool = False, loops: int = 1,
                   depth: int = 4, threads: int = 2):
     """Frame iterator backed by the native C++ decode queue
@@ -85,18 +123,10 @@ def native_source(path: str, pair_mode: bool = False, loops: int = 1,
     if not _native.available():
         return FrameSource(path, pair_mode=pair_mode, loop=loops > 1,
                            max_frames=None)
-    first = _native.read_bmp(files[0])
-    h, w = first.shape[:2]
-    w_sbs = 2 * w if pair_mode else w
-    if pair_mode:
-        # flatten consecutive pairs L,R,L,R like the C side expects
-        pairs = []
-        for a, b in zip(files[:-1], files[1:]):
-            pairs += [a, b]
-        files = pairs
-    q = _native.NativeFrameQueue(files, pair_mode=pair_mode, depth=depth,
-                                 loops=loops, threads=threads)
-    return q.prime(h, w_sbs)
+    if pair_mode and len(files) % 2:
+        files = files[:-1]     # C side consumes files two at a time (L, R)
+    return _native.NativeFrameQueue(files, pair_mode=pair_mode, depth=depth,
+                                    loops=loops, threads=threads)
 
 
 class PrefetchingSource:
@@ -153,18 +183,20 @@ def stream(source, cfg: PipelineConfig, lowres: bool = False,
     for i, sbs in enumerate(src):
         try:
             out = fn(jax.device_put(sbs), cfg)
-            if on_frame is not None:
-                on_frame(i, *out)
-            else:
+            if on_frame is None:
                 # force completion for honest per-frame timing
                 np.asarray(out[2])
-            failures = 0
         except Exception as e:  # noqa: BLE001 -- stream must survive a frame
             failures += 1
             print(f"[[ frame {i} FAILED: {type(e).__name__}: {e} ]]")
             if failures > max_consecutive_failures:
                 raise
             continue
+        failures = 0
+        if on_frame is not None:
+            # outside the failure policy: a consumer bug is the caller's
+            # error and must propagate, not count as a bad frame
+            on_frame(i, *out)
         meter.tick()
         if verbose:
             ts = meter.times

@@ -31,8 +31,11 @@ def load() -> Optional[ctypes.CDLL]:
             return _lib
         _tried = True
         try:
-            if not os.path.exists(_SO):
-                subprocess.run(["make", "-C", _NATIVE_DIR, "-s"],
+            src = os.path.join(_NATIVE_DIR, "stm_native.cpp")
+            stale = (not os.path.exists(_SO)
+                     or os.path.getmtime(_SO) < os.path.getmtime(src))
+            if stale:
+                subprocess.run(["make", "-C", _NATIVE_DIR, "-sB"],
                                check=True, capture_output=True)
             lib = ctypes.CDLL(_SO)
         except Exception:
@@ -55,6 +58,14 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
         lib.stm_queue_destroy.argtypes = [ctypes.c_void_p]
+        lib.stm_y4m_open.restype = ctypes.c_void_p
+        lib.stm_y4m_open.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.stm_y4m_next.restype = ctypes.c_int
+        lib.stm_y4m_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.stm_y4m_rewind.argtypes = [ctypes.c_void_p]
+        lib.stm_y4m_close.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -111,19 +122,15 @@ class NativeFrameQueue:
                                        depth, loops, threads)
         if not self._q:
             raise RuntimeError("stm_queue_create failed")
-        self._shape: Optional[Tuple[int, int]] = None
+        # output buffer geometry from the first frame's BMP header
+        # (pair mode stitches L|R side by side)
+        h, w = read_bmp(paths[0]).shape[:2]
+        self._shape: Tuple[int, int] = (h, 2 * w if pair_mode else w)
 
     def __iter__(self):
         h = ctypes.c_int32()
         w = ctypes.c_int32()
         while True:
-            if self._shape is None:
-                # first frame: two-phase (peek size via a big scratch is
-                # avoided -- decode into max buffer once we know dims from
-                # the first stm_queue_next call pattern).  We simply allocate
-                # after a size-only probe is not possible here, so allocate
-                # lazily using header read of the first path.
-                raise RuntimeError("call prime() before iterating")
             out = np.empty((self._shape[0], self._shape[1], 3), np.uint8)
             rc = self._lib.stm_queue_next(
                 self._q, out.ctypes.data_as(ctypes.c_void_p),
@@ -136,14 +143,59 @@ class NativeFrameQueue:
                 raise IOError(f"stm_queue_next failed: {rc}")
             yield out[: h.value, : w.value]
 
-    def prime(self, h: int, w_sbs: int) -> "NativeFrameQueue":
-        self._shape = (h, w_sbs)
-        return self
-
     def close(self):
         if self._q:
             self._lib.stm_queue_destroy(self._q)
             self._q = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeY4M:
+    """Native Y4M video reader (stm_y4m_*): sequential BGR uint8 frames
+    with rewind support.  Bit-identical output to utils.y4m.Y4MReader."""
+
+    def __init__(self, path: str):
+        lib = load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        w = ctypes.c_int32()
+        h = ctypes.c_int32()
+        self._r = lib.stm_y4m_open(path.encode(), ctypes.byref(w),
+                                   ctypes.byref(h))
+        if not self._r:
+            raise IOError(f"stm_y4m_open({path}) failed")
+        self.w, self.h = w.value, h.value
+
+    def read_frame(self) -> Optional[np.ndarray]:
+        out = np.empty((self.h, self.w, 3), np.uint8)
+        rc = self._lib.stm_y4m_next(self._r,
+                                    out.ctypes.data_as(ctypes.c_void_p))
+        if rc == 1:
+            return None
+        if rc != 0:
+            raise IOError(f"stm_y4m_next failed: {rc}")
+        return out
+
+    def rewind(self) -> None:
+        self._lib.stm_y4m_rewind(self._r)
+
+    def __iter__(self):
+        while True:
+            fr = self.read_frame()
+            if fr is None:
+                return
+            yield fr
+
+    def close(self):
+        if self._r:
+            self._lib.stm_y4m_close(self._r)
+            self._r = None
 
     def __del__(self):
         try:

@@ -130,12 +130,18 @@ def _mux_interlace(views, num_rows_out, num_cols_out, y_mod, inv_y, ty):
 
     # Resample every view to the output resolution (MXU matmul resize; u8
     # truncation matches fast_bilinear_interp's cast), then combine with a
-    # one-hot select -- no gather HLO anywhere.
+    # one-hot select -- no gather HLO anywhere.  When output res == input
+    # res (every BASELINE config, incl. 4K -> 16 views), the bilinear
+    # resample is the identity (weights collapse to (1, 0); u8 values are
+    # f32-exact), so the V full-frame resizes are skipped outright --
+    # the interlace is then a pure V-way select.
     from stereo_to_multiview_tpu.ops.scale import resize_bilinear_f32
+    identity = (views.shape[1], views.shape[2]) == (num_rows_out,
+                                                    num_cols_out)
     out = jnp.zeros((num_rows_out, num_cols_out, 3), jnp.uint8)
     for v in range(v_cnt):
         mask = view_id == v
-        sampled = resize_bilinear_f32(
+        sampled = views[v] if identity else resize_bilinear_f32(
             views[v], num_rows_out, num_cols_out).astype(jnp.uint8)
         out = jnp.where(mask, sampled, out)
     return out

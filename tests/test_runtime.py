@@ -57,19 +57,32 @@ def test_native_queue_order_and_loops(frames_dir):
         np.testing.assert_array_equal(f, ref[i % 4])
 
 
-def test_frame_source_pair_mode_skips_mismatched(tmp_path):
+def test_frame_source_pair_mode_nonoverlapping(tmp_path):
+    """Pair mode takes sorted files two at a time -- (f0,f1), (f2,f3) --
+    never overlapping pairs; a trailing unpaired file is dropped and a
+    shape-mismatched pair is skipped."""
     from stereo_to_multiview_tpu.models.stream import FrameSource
     rng = np.random.default_rng(5)
-    write_bmp(str(tmp_path / "a_1.bmp"),
-              rng.integers(0, 256, (16, 20, 3), dtype=np.uint8))
-    write_bmp(str(tmp_path / "a_2.bmp"),
-              rng.integers(0, 256, (16, 20, 3), dtype=np.uint8))
-    write_bmp(str(tmp_path / "a_3.bmp"),
-              rng.integers(0, 256, (18, 20, 3), dtype=np.uint8))  # mismatched
+    imgs = [rng.integers(0, 256, (16, 20, 3), dtype=np.uint8)
+            for _ in range(4)]
+    for i, img in enumerate(imgs):
+        write_bmp(str(tmp_path / f"a_{i + 1}.bmp"), img)
+    write_bmp(str(tmp_path / "a_5.bmp"),
+              rng.integers(0, 256, (16, 20, 3), dtype=np.uint8))  # unpaired
     src = FrameSource(str(tmp_path), pair_mode=True, loop=False)
     frames = list(src)
-    assert len(frames) == 1  # (a_1,a_2) ok; (a_2,a_3) skipped
-    assert frames[0].shape == (16, 40, 3)
+    assert len(frames) == 2  # (a_1,a_2), (a_3,a_4); a_5 has no partner
+    np.testing.assert_array_equal(frames[0],
+                                  np.concatenate([imgs[0], imgs[1]], axis=1))
+    np.testing.assert_array_equal(frames[1],
+                                  np.concatenate([imgs[2], imgs[3]], axis=1))
+
+    # shape-mismatched pair: skipped, the following pair still decodes
+    write_bmp(str(tmp_path / "a_0.bmp"),
+              rng.integers(0, 256, (18, 20, 3), dtype=np.uint8))
+    src = FrameSource(str(tmp_path), pair_mode=True, loop=False)
+    frames = list(src)   # pairs now (a_0,a_1) bad, (a_2,a_3), (a_4,a_5)
+    assert len(frames) == 2
 
 
 def test_stream_driver(frames_dir):
@@ -105,3 +118,57 @@ def test_dump_writer(tmp_path):
                      "08_view_0.png", "08_view_2.png", "06_disp_l.npy"):
         assert expected in names, f"missing {expected}"
     assert outs["interlaced"].shape == (24, 32, 3)
+
+
+def test_y4m_native_matches_python(tmp_path):
+    """Native C++ Y4M reader and the NumPy fallback decode bit-identical
+    BGR; the roundtrip through C444 (lossless chroma) stays within the
+    BT.601 integer conversion's error."""
+    from stereo_to_multiview_tpu.utils.y4m import (write_y4m, Y4MReader)
+    from stereo_to_multiview_tpu import native as _native
+    rng = np.random.default_rng(21)
+    frames = [rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+              for _ in range(3)]
+    for cs in ("C444", "C420jpeg"):
+        path = str(tmp_path / f"clip_{cs}.y4m")
+        write_y4m(path, frames, colorspace=cs)
+        py = list(Y4MReader(path))
+        assert len(py) == 3
+        if _native.available():
+            nat = list(_native.NativeY4M(path))
+            assert len(nat) == 3
+            for a, b in zip(py, nat):
+                np.testing.assert_array_equal(a, b)
+    # C444 roundtrip: limited-range quantization costs a few levels
+    path = str(tmp_path / "clip_C444.y4m")
+    dec = list(Y4MReader(path))
+    for orig, back in zip(frames, dec):
+        assert np.abs(orig.astype(int) - back.astype(int)).max() <= 4
+
+
+def test_y4m_stream_through_pipeline(tmp_path):
+    """Y4M video -> Y4MSource -> full pipeline: the real-video ingestion
+    path of the reference (video_io.cpp:77,148), including looping."""
+    from stereo_to_multiview_tpu.utils.y4m import write_y4m
+    from stereo_to_multiview_tpu.models.stream import Y4MSource, stream
+    from stereo_to_multiview_tpu.config import PipelineConfig
+    rng = np.random.default_rng(22)
+    # SBS frames: left|right with a small true shift
+    base = rng.integers(0, 256, (24, 36, 3), dtype=np.uint8)
+    sbs_frames = []
+    for t in range(3):
+        l = np.roll(base, t, axis=1)[:, :32]
+        r = np.roll(base, t + 2, axis=1)[:, :32]
+        sbs_frames.append(np.concatenate([l, r], axis=1))
+    path = str(tmp_path / "clip.y4m")
+    write_y4m(path, sbs_frames, colorspace="C444")
+
+    src = Y4MSource(path, loop=True, max_frames=5)   # loops past EOF
+    cfg = PipelineConfig(num_rows=24, num_cols=32, num_rows_out=24,
+                         num_cols_out=32, num_disp=4, zero_disp=2,
+                         usd=4, lsd=2, num_views=2, irv_iterations=1,
+                         bilateral_radius=2, feather_radius=2)
+    seen = []
+    stream(src, cfg, on_frame=lambda i, dl, dr, il: seen.append(i),
+           verbose=False)
+    assert seen == [0, 1, 2, 3, 4]

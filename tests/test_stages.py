@@ -149,6 +149,36 @@ def test_dr_irv_exact(pair):
     np.testing.assert_array_equal(gd, _np(od))
 
 
+def test_dc_hslo_exact_both_eyes(pair):
+    """Scanline DP vs the explicit per-column NumPy golden: bit-exact for
+    both eyes (same f32 operation order)."""
+    l, r = pair
+    cost_l, cost_r = G.ci_adcensus(l, r, 10.0, 30.0, D, ZD)
+    gray_l = G.mux_average(l)
+    gray_r = G.mux_average(r)
+    for cost, sign in ((cost_l, +1), (cost_r, -1)):
+        ref = G.dc_hslo(cost, gray_l, gray_r, D, ZD, 15.0, 1.0, 3.0,
+                        sign=sign)
+        out = O.dc_hslo(np.asarray(cost), gray_l, gray_r, D, ZD, 15.0,
+                        1.0, 3.0, sign=sign)
+        np.testing.assert_array_equal(ref, _np(out))
+
+
+def test_dc_hslo_penalizes_jumps():
+    """With uniform images (all gradients < T) the DP must smooth an
+    isolated disparity spike: the spiky plane's optimized cost exceeds
+    the smooth plane's near the spike."""
+    h, w, d = 8, 24, 6
+    cost = np.full((d, h, w), 5.0, np.float32)
+    cost[2] = 0.0                       # smooth winner everywhere
+    cost[2, :, 12] = 2.0                # spike column prefers plane 5 by 2
+    cost[5, :, 12] = 0.0                # (< the P2 jump penalty of 3)
+    gray = np.full((h, w), 100, np.uint8)
+    out = _np(O.dc_hslo(cost, gray, gray, d, d // 2, 15.0, 1.0, 3.0))
+    # plane 2 still wins at the spike: neighbors' support dominates
+    assert (out[:, :, 12].argmin(axis=0) == 2).all()
+
+
 def test_filter_gaussian_lift_close(rng):
     img = rng.random((20, 24)).astype(np.float32)
     g = G.filter_gaussian_lift(img, 3, 2.5)
