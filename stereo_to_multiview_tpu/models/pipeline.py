@@ -88,9 +88,15 @@ def compute_disparities(img_l: jnp.ndarray, img_r: jnp.ndarray,
         disp_r = ops.dc_wta(acost_r, cfg.zero_disp)
 
     with stage_scope("dr_dcc"):
-        out_l, out_r = ops.dr_dcc(disp_l, disp_r, cfg.dcc_thresh,
-                                  num_disp=cfg.num_disp,
-                                  zero_disp=cfg.zero_disp)
+        if band:
+            from stereo_to_multiview_tpu.ops.postkern import dcc_occl_kern
+            out_l, out_r = dcc_occl_kern(disp_l, disp_r, cfg.dcc_thresh,
+                                         with_labels=True,
+                                         interpret=interpret)
+        else:
+            out_l, out_r = ops.dr_dcc(disp_l, disp_r, cfg.dcc_thresh,
+                                      num_disp=cfg.num_disp,
+                                      zero_disp=cfg.zero_disp)
     with stage_scope("dr_irv"):
         if band:
             from stereo_to_multiview_tpu.ops.band import dr_irv_band_chunked
@@ -109,14 +115,19 @@ def compute_disparities(img_l: jnp.ndarray, img_r: jnp.ndarray,
                                        cfg.usd, cfg.irv_iterations)
 
     with stage_scope("filter_bilateral"):
-        disp_l = ops.filter_bilateral(disp_l, cfg.bilateral_radius,
-                                      cfg.bilateral_sigma_color,
-                                      cfg.bilateral_sigma_spatial,
-                                      cfg.num_disp)
-        disp_r = ops.filter_bilateral(disp_r, cfg.bilateral_radius,
-                                      cfg.bilateral_sigma_color,
-                                      cfg.bilateral_sigma_spatial,
-                                      cfg.num_disp)
+        if band and cfg.bilateral_radius <= 8:
+            # per eye (stacking along H would bleed taps across the seam)
+            from stereo_to_multiview_tpu.ops.postkern import (
+                filter_bilateral_kern)
+            blf = lambda d: filter_bilateral_kern(
+                d, cfg.bilateral_radius, cfg.bilateral_sigma_color,
+                cfg.bilateral_sigma_spatial, cfg.num_disp, interpret)
+        else:
+            blf = lambda d: ops.filter_bilateral(
+                d, cfg.bilateral_radius, cfg.bilateral_sigma_color,
+                cfg.bilateral_sigma_spatial, cfg.num_disp)
+        disp_l = blf(disp_l)
+        disp_r = blf(disp_r)
     return disp_l, disp_r, out_l, out_r
 
 
@@ -134,9 +145,18 @@ def synthesize_views(img_l, img_r, disp_l, disp_r, cfg: PipelineConfig):
     from stereo_to_multiview_tpu.ops.mux import mux_merge_ab
     from stereo_to_multiview_tpu.utils.profiling import stage_scope
 
+    band = _use_band(cfg)
+    interpret = jax.default_backend() == "cpu"
     with stage_scope("dibr_occl"):
-        occl_l, occl_r = ops.dibr_occl(disp_l, disp_r, num_disp=cfg.num_disp,
-                                       zero_disp=cfg.zero_disp)
+        if band:
+            from stereo_to_multiview_tpu.ops.postkern import dcc_occl_kern
+            occl_l, occl_r = dcc_occl_kern(disp_l, disp_r,
+                                           with_labels=False,
+                                           interpret=interpret)
+        else:
+            occl_l, occl_r = ops.dibr_occl(disp_l, disp_r,
+                                           num_disp=cfg.num_disp,
+                                           zero_disp=cfg.zero_disp)
         occl_l = ops.filter_bleed(occl_l, cfg.bleed_radius)
         occl_r = ops.filter_bleed(occl_r, cfg.bleed_radius)
         mask_l = ops.dibr_occl_to_mask(occl_l)
@@ -146,8 +166,6 @@ def synthesize_views(img_l, img_r, disp_l, disp_r, cfg: PipelineConfig):
         feathered = ops.dibr.dibr_feather_mask(
             mask_r, cfg.feather_radius, cfg.feather_sigma)
 
-    band = _use_band(cfg)
-    interpret = jax.default_backend() == "cpu"
     v = cfg.num_views
     mids = []
     with stage_scope("dibr_dbm"):

@@ -17,11 +17,13 @@ kernels fuse the round:
 
 Outlier-sparse skipping: votes only matter at outlier pixels, and IRV
 accepts only shrink the outlier set, so most blocks do nothing after the
-first round or two.  Both kernels take a scalar-prefetched per-block flag
-(any outlier within the block's influence region) and skip the MXU work
-when it is clear -- the rowspan writes zeros (cheap, and keeps NaN-free
-garbage out of downstream dots), the vote writes zero totals (total=0
-can never be accepted, matching the discarded value exactly).
+first round or two.  The vote kernel takes a scalar-prefetched per-block
+flag (any outlier among the block's output pixels) and skips the MXU
+work when it is clear, writing zero totals (total=0 can never be
+accepted, matching the discarded value exactly).  The rowspan kernel
+cannot skip: its middle-index 3D store's vector reshape does not lower
+inside a pl.when region ("unsupported shape cast"); the early-stopping
+round loop (ops.band.dr_irv_band_chunked) recovers most of that saving.
 
 Both kernels are integer-exact, so a full IRV round is bit-identical to
 ops.irv.dr_irv / ops.band.dr_irv_band.
@@ -45,48 +47,41 @@ _PAD = 128    # x padding of the disparity rows (row-pass window reach)
 _HPAD = 64    # H padding of the row-span volume (vote window reach)
 
 
-def _rowspan_kernel(flags_ref, disp_ref, outl_ref, al_ref, ar_ref, out_ref,
-                    *, num_disp: int, zero_disp: int, n_xt: int):
+def _rowspan_kernel(disp_ref, outl_ref, al_ref, ar_ref, out_ref,
+                    *, num_disp: int, zero_disp: int):
     """One (32-row, 128-column) step: out (128x, 32row, B) bf16 row spans.
-    Skipped blocks (no outlier within vertical vote reach of these rows at
-    these columns) write zeros."""
-    y = pl.program_id(0)
+
+    (No per-block skip here: Mosaic cannot lower the middle-index 3D
+    store's vector reshape inside a pl.when region -- "unsupported shape
+    cast" -- so only the vote kernel, whose stores are 2D, skips blocks.)
+    """
     s = pl.program_id(1)
-    flag = flags_ref[y * n_xt + s]
+    base = pl.multiple_of(s * _LANE, _LANE)
+    # vote windows reach at most +-usd <= 64, so only the 256 columns
+    # [x0-64, x0+192) of the 384 chunk span feed the contraction
+    d_win = disp_ref[:, pl.ds(base, 3 * _LANE)]        # (R, 384)
+    o_win = outl_ref[:, pl.ds(base, 3 * _LANE)]
+    # output-pixel arms, sublane-oriented
+    an_t = al_ref[:, pl.ds(base + _PAD, _LANE)].T      # (128x, R)
+    ap_t = ar_ref[:, pl.ds(base + _PAD, _LANE)].T
+    half = _LANE // 2
+    d_t = d_win.T[half:half + 2 * _LANE]               # (256i, R)
+    o_t = o_win.T[half:half + 2 * _LANE]
 
-    @pl.when(flag != 0)
-    def _compute():
-        base = pl.multiple_of(s * _LANE, _LANE)
-        # vote windows reach at most +-usd <= 64, so only the 256 columns
-        # [x0-64, x0+192) of the 384 chunk span feed the contraction
-        d_win = disp_ref[:, pl.ds(base, 3 * _LANE)]        # (R, 384)
-        o_win = outl_ref[:, pl.ds(base, 3 * _LANE)]
-        # output-pixel arms, sublane-oriented
-        an_t = al_ref[:, pl.ds(base + _PAD, _LANE)].T      # (128x, R)
-        ap_t = ar_ref[:, pl.ds(base + _PAD, _LANE)].T
-        half = _LANE // 2
-        d_t = d_win.T[half:half + 2 * _LANE]               # (256i, R)
-        o_t = o_win.T[half:half + 2 * _LANE]
+    o = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 2 * _LANE), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 2 * _LANE), 1)
+    r_off = i - half - o
+    b_iota = jax.lax.broadcasted_iota(jnp.int32, (2 * _LANE, num_disp), 1)
 
-        o = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 2 * _LANE), 0)
-        i = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 2 * _LANE), 1)
-        r_off = i - half - o
-        b_iota = jax.lax.broadcasted_iota(jnp.int32, (2 * _LANE, num_disp),
-                                          1)
-
-        for r in range(_ROWS):
-            an = an_t[:, r:r + 1]
-            ap = ap_t[:, r:r + 1]
-            band = ((r_off >= -an) & (r_off <= ap)).astype(BF16)  # (x, 256)
-            dint = d_t[:, r:r + 1].astype(jnp.int32)              # (256i, 1)
-            reli = o_t[:, r:r + 1] == 0
-            onehot = (reli & (dint + zero_disp == b_iota)).astype(BF16)
-            y_dot = jnp.dot(band, onehot, preferred_element_type=F32)
-            out_ref[:, r, :] = y_dot.astype(BF16)          # exact: <= 129
-
-    @pl.when(flag == 0)
-    def _zero():
-        out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
+    for r in range(_ROWS):
+        an = an_t[:, r:r + 1]
+        ap = ap_t[:, r:r + 1]
+        band = ((r_off >= -an) & (r_off <= ap)).astype(BF16)  # (x, 256)
+        dint = d_t[:, r:r + 1].astype(jnp.int32)              # (256i, 1)
+        reli = o_t[:, r:r + 1] == 0
+        onehot = (reli & (dint + zero_disp == b_iota)).astype(BF16)
+        y_dot = jnp.dot(band, onehot, preferred_element_type=F32)
+        out_ref[:, r, :] = y_dot.astype(BF16)          # exact: <= 129
 
 
 def _vote_kernel(vflags_ref, rs_ref, au_ref, ad_ref,
@@ -138,13 +133,6 @@ def _vote_kernel(vflags_ref, rs_ref, au_ref, ad_ref,
             tot_ref[:, a0:a0 + _LANE] = zf
 
 
-def _shift_rows(m: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Shift a 2D bool array along axis 0 by k (False fill)."""
-    if k > 0:
-        return jnp.pad(m, ((k, 0), (0, 0)))[:m.shape[0]]
-    return jnp.pad(m, ((0, -k), (0, 0)))[-k:]
-
-
 @functools.partial(jax.jit, static_argnames=("num_disp", "zero_disp",
                                              "usd", "interpret"))
 def irv_round_kern(disp: jnp.ndarray, outliers: jnp.ndarray,
@@ -157,6 +145,12 @@ def irv_round_kern(disp: jnp.ndarray, outliers: jnp.ndarray,
     from stereo_to_multiview_tpu.ops.cross import UP, DOWN, LEFT, RIGHT
     if usd > _LANE // 2:
         raise ValueError("usd must be <= 64 (256-wide kernel windows)")
+    # bins padded to a full 128-lane tile: Mosaic (current toolchain)
+    # rejects the rowspan's middle-index bf16 store at narrower lane
+    # widths ("unsupported shape cast").  Pad bins never match a
+    # disparity (one-hot compares against dint + zero_disp < num_disp),
+    # so their counts are zero and winner/max/total are unchanged.
+    num_bins = max(num_disp, _LANE)
     h, w = disp.shape
     hp = -(-h // _LANE) * _LANE        # H padded for I2's 128-chunks
     wp = -(-w // _LANE) * _LANE
@@ -171,16 +165,11 @@ def irv_round_kern(disp: jnp.ndarray, outliers: jnp.ndarray,
     au = pad_hw(jnp.minimum(arms[UP], usd).astype(jnp.int32), 0)
     ad_ = pad_hw(arms[DOWN].astype(jnp.int32), 0)
 
-    # --- per-block outlier flags (pads are non-outliers: their votes are
-    # discarded, so blocks they alone touch can skip) ---
+    # --- per-block outlier flags for the vote kernel (pads are
+    # non-outliers: their votes are discarded, so blocks they alone touch
+    # can skip) ---
     need = jnp.pad(outliers != 0, ((0, hp - h), (0, wp - w)))
     n_yb, n_xt = hp // _ROWS, wp // _LANE
-    m = need.reshape(n_yb, _ROWS, n_xt, _LANE).any(axis=(1, 3))
-    md = m
-    for k in range(1, -(-usd // _ROWS) + 1):
-        md = md | _shift_rows(m, k) | _shift_rows(m, -k)
-    rflags = md.astype(jnp.int32).reshape(-1)
-
     n_xb, n_hseg = wp // _VROWS, hp // _LANE
     m2 = need.reshape(n_hseg, _LANE, n_xb, _VROWS).any(axis=(1, 3)).T
     vflags = m2.astype(jnp.int32).reshape(-1)
@@ -191,38 +180,36 @@ def irv_round_kern(disp: jnp.ndarray, outliers: jnp.ndarray,
     alx = jnp.pad(al, ((0, 0), (_PAD, _PAD)))
     arx = jnp.pad(ar, ((0, 0), (_PAD, _PAD)))
 
-    row_spec = pl.BlockSpec((_ROWS, wp + 2 * _PAD), lambda y, s, f: (y, 0),
+    row_spec = pl.BlockSpec((_ROWS, wp + 2 * _PAD), lambda y, s: (y, 0),
                             memory_space=pltpu.VMEM)
     hoff = _HPAD // _ROWS
     rs = pl.pallas_call(
-        functools.partial(_rowspan_kernel, num_disp=num_disp,
-                          zero_disp=zero_disp, n_xt=n_xt),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(n_yb, n_xt),
-            in_specs=[row_spec] * 4,
-            out_specs=pl.BlockSpec((_LANE, _ROWS, num_disp),
-                                   lambda y, s, f: (s, y + hoff, 0),
-                                   memory_space=pltpu.VMEM)),
-        out_shape=jax.ShapeDtypeStruct((wp, hp + 2 * _HPAD, num_disp),
+        functools.partial(_rowspan_kernel, num_disp=num_bins,
+                          zero_disp=zero_disp),
+        grid=(n_yb, n_xt),
+        in_specs=[row_spec] * 4,
+        out_specs=pl.BlockSpec((_LANE, _ROWS, num_bins),
+                               lambda y, s: (s, y + hoff, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((wp, hp + 2 * _HPAD, num_bins),
                                        BF16),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
-    )(rflags, dx, ox, alx, arx)
+    )(dx, ox, alx, arx)
 
     # vertical pass + reduce, in the (W, H, B) layout
     au_t = au.T                        # (W, H)
     ad_t = ad_.T
 
-    rs_spec = pl.BlockSpec((_VROWS, hp + 2 * _HPAD, num_disp),
+    rs_spec = pl.BlockSpec((_VROWS, hp + 2 * _HPAD, num_bins),
                            lambda b, f: (b, 0, 0), memory_space=pltpu.VMEM)
     arm_spec = pl.BlockSpec((_VROWS, hp), lambda b, f: (b, 0),
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((_VROWS, hp), lambda b, f: (b, 0),
                             memory_space=pltpu.VMEM)
     win_t, max_t, tot_t = pl.pallas_call(
-        functools.partial(_vote_kernel, num_disp=num_disp, n_hseg=n_hseg,
+        functools.partial(_vote_kernel, num_disp=num_bins, n_hseg=n_hseg,
                           hp=hp),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

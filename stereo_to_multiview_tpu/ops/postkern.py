@@ -1,0 +1,212 @@
+"""Pallas TPU kernels for the post-refinement stages.
+
+The XLA select-shift formulations of the bilateral filter ((2r+1)^2
+shifted planes, ~33 ms at 1080p both eyes) stop fusing at these chain
+lengths and materialize intermediates.  This kernel streams row blocks:
+the disparity map is edge-padded once in XLA, three consecutive row
+blocks are resident in VMEM, and every (dy, dx) tap is a static sublane
+slice + a lane-roll window -- one fused VPU pass per tap, no HBM
+intermediates.
+
+Semantics match ops.filters.filter_bilateral exactly (same accumulation
+order, d_filter_bilateral.cu:222-304 with the LUT replaced by direct exp
+on the truncated index); values agree with the XLA path up to exp
+rounding between backends.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F32 = jnp.float32
+_LANE = 128
+_ROWS = 8
+_PAD = 128
+
+
+def _window(chunks, lo: int, rows: int):
+    """128-lane window at static offset `lo` within three consecutive
+    (rows, 128) chunks (cf. ops.costkern._window)."""
+    k = lo // _LANE
+    r = lo % _LANE
+    a, b = chunks[k], chunks[min(k + 1, 2)]
+    if r == 0:
+        return a
+    rolled_a = pltpu.roll(a, _LANE - r, axis=1)
+    rolled_b = pltpu.roll(b, _LANE - r, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANE), 1)
+    return jnp.where(lane < _LANE - r, rolled_a, rolled_b)
+
+
+def _bilat_kernel(b0, b1, b2, out_ref, *, radius: int, sk, inv_2var: float,
+                  lut_scale: float, n_tiles: int):
+    """One _ROWS-row step.  b0/b1/b2: consecutive (ROWS, WP + 256) row
+    blocks of the edge-padded map; the output rows are b1's rows."""
+    full = jnp.concatenate([b0[:], b1[:], b2[:]], axis=0)  # (3R, WP+256)
+
+    for t in range(n_tiles):
+        base = _PAD + t * _LANE
+        center = full[_ROWS:2 * _ROWS, base:base + _LANE]
+        num = jnp.zeros((_ROWS, _LANE), F32)
+        den = jnp.zeros((_ROWS, _LANE), F32)
+        for dy in range(-radius, radius + 1):
+            shifted = full[_ROWS + dy:2 * _ROWS + dy]
+            chunks = [shifted[:, base - _LANE + k * _LANE:
+                              base + k * _LANE] for k in range(3)]
+            for dx in range(-radius, radius + 1):
+                s = _window(chunks, _LANE + dx, _ROWS)
+                t_i = jnp.floor(jnp.abs(center - s))
+                rw = jnp.exp(-(t_i * t_i) * F32(inv_2var)) * F32(lut_scale)
+                wgt = F32(sk[dy + radius, dx + radius]) * rw
+                num = num + wgt * s
+                den = den + wgt
+        out_ref[:, t * _LANE:(t + 1) * _LANE] = num / den
+
+
+def _dcc_kernel(dl_ref, dr_ref, out_l_ref, out_r_ref, *, n_tiles: int,
+                rows: int, w: int, thresh: float, with_labels: bool):
+    """Cross-check labels (d_dr_dcc.cu:35-82) or occlusion hits
+    (d_dibr_occl.cu:114-128) for both eyes, one `rows`-row block per step.
+
+    Every dynamic-offset lookup/scatter becomes a banded compare over the
+    [x0-128, x0+256) window (disparity reach <= 128): the consistency read
+    d_b[clamp(x + d_a[x])] is a one-hot offset compare times the edge-
+    padded window (the pad IS the clamp), summed over lanes; the scatter
+    hit is a clamped-target compare + lane reduction.  All integer-exact.
+
+    dl/dr refs: (rows, WP + 256) f32 rows, 128 edge-pad columns each side.
+    outs: (rows, WP) i32 -- labels 0/1/2 (with_labels) or 0/1 hit flags.
+    """
+    o = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 3 * _LANE), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 3 * _LANE), 1)
+    roff = i - _PAD - o                        # window offset of i from o
+
+    for t in range(n_tiles):
+        x0 = t * _LANE
+        for r in range(rows):
+            dl_win = dl_ref[r:r + 1, x0:x0 + 3 * _LANE]      # (1, 384) f32
+            dr_win = dr_ref[r:r + 1, x0:x0 + 3 * _LANE]
+            dl_wi = dl_win.astype(jnp.int32)                 # trunc to 0
+            dr_wi = dr_win.astype(jnp.int32)
+            dl_c = dl_wi[:, _PAD:_PAD + _LANE].T             # (128, 1)
+            dr_c = dr_wi[:, _PAD:_PAD + _LANE].T
+            i_abs = i - _PAD + x0                            # abs position
+            valid = (i_abs >= 0) & (i_abs < w)
+
+            # scatter hit: any in-image writer whose clamped target is o
+            hit_r_b = valid & (jnp.clip(i_abs + dl_wi, 0, w - 1) == o + x0)
+            hit_l_b = valid & (jnp.clip(i_abs - dr_wi, 0, w - 1) == o + x0)
+            hit_r = jnp.sum(hit_r_b.astype(jnp.int32), axis=1) > 0  # (128,)
+            hit_l = jnp.sum(hit_l_b.astype(jnp.int32), axis=1) > 0
+
+            if not with_labels:
+                out_r_ref[r, x0:x0 + _LANE] = hit_r.astype(jnp.int32)
+                out_l_ref[r, x0:x0 + _LANE] = hit_l.astype(jnp.int32)
+                continue
+
+            # consistency read d_b[clamp(x + d_a[x])]: the edge-padded
+            # window holds the clamped border value at out-of-image i,
+            # so a plain offset match suffices; exactly one i matches.
+            sel_l = (roff == dl_c)
+            sel_r = (roff == -dr_c)
+            ref_l = jnp.sum(jnp.where(sel_l, dr_win, F32(0.0)), axis=1)
+            ref_r = jnp.sum(jnp.where(sel_r, dl_win, F32(0.0)), axis=1)
+            mm_l = jnp.abs(dl_c[:, 0].astype(F32) - ref_l) > F32(thresh)
+            mm_r = jnp.abs(dr_c[:, 0].astype(F32) - ref_r) > F32(thresh)
+
+            # label 1 = mismatch, upgraded to 2 when also disoccluded
+            # (never hit by any other-eye writer)
+            lab_l = jnp.where(mm_l, jnp.where(hit_l, 1, 2), 0)
+            lab_r = jnp.where(mm_r, jnp.where(hit_r, 1, 2), 0)
+            out_l_ref[r, x0:x0 + _LANE] = lab_l.astype(jnp.int32)
+            out_r_ref[r, x0:x0 + _LANE] = lab_r.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("thresh", "with_labels",
+                                             "interpret"))
+def dcc_occl_kern(disp_l: jnp.ndarray, disp_r: jnp.ndarray,
+                  thresh: float = 1.0, with_labels: bool = True,
+                  interpret: bool = False):
+    """with_labels=True: dr_dcc outlier labels (uint8 0/1/2) for both
+    eyes.  False: dibr_occl visibility hits (uint8 0/1).  Disparity reach
+    must be <= 128 columns (num_disp, zero_disp <= 128)."""
+    h, w = disp_l.shape
+    hp = -(-h // _ROWS) * _ROWS
+    wp = -(-w // _LANE) * _LANE
+
+    def prep(d):
+        d = d.astype(F32)
+        d = jnp.pad(d, ((0, hp - h), (0, wp - w)), mode="edge")
+        return jnp.pad(d, ((0, 0), (_PAD, _PAD)), mode="edge")
+
+    dspec = pl.BlockSpec((_ROWS, wp + 2 * _PAD), lambda y: (y, 0),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((_ROWS, wp), lambda y: (y, 0),
+                         memory_space=pltpu.VMEM)
+    out_l, out_r = pl.pallas_call(
+        functools.partial(_dcc_kernel, n_tiles=wp // _LANE, rows=_ROWS,
+                          w=w, thresh=float(thresh),
+                          with_labels=with_labels),
+        grid=(hp // _ROWS,),
+        in_specs=[dspec, dspec],
+        out_specs=(ospec, ospec),
+        out_shape=(jax.ShapeDtypeStruct((hp, wp), jnp.int32),) * 2,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(prep(disp_l), prep(disp_r))
+    return (out_l[:h, :w].astype(jnp.uint8),
+            out_r[:h, :w].astype(jnp.uint8))
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "sigma_color",
+                                             "sigma_spatial", "num_disp",
+                                             "interpret"))
+def filter_bilateral_kern(img: jnp.ndarray, radius: int, sigma_color: float,
+                          sigma_spatial: float, num_disp: int,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Pallas bilateral filter of an (H, W) f32 disparity map; same
+    contract as ops.filters.filter_bilateral."""
+    from stereo_to_multiview_tpu.ops.filters import gaussian_kernel_2d
+    del num_disp  # like the XLA path: only the LUT length depended on it
+    if radius > _ROWS:
+        raise ValueError(f"filter_bilateral_kern supports radius <= "
+                         f"{_ROWS} (one row block of vertical reach)")
+    sk = gaussian_kernel_2d(radius, sigma_spatial)
+    var = float(np.float32(sigma_color)) ** 2
+    lut_scale = 1.0 / float(np.sqrt(2 * np.pi * var))
+    inv_2var = 1.0 / (2.0 * var)
+
+    h, w = img.shape
+    hp = -(-h // _ROWS) * _ROWS
+    wp = -(-w // _LANE) * _LANE
+    a = img.astype(F32)
+    # edge padding: radius reach both axes, block-aligned (rows padded by
+    # a full block so the y-1/y+1 blocks never clamp; the first/last
+    # padded rows replicate the true border rows)
+    a = jnp.pad(a, ((0, hp - h), (0, wp - w)), mode="edge")
+    a = jnp.pad(a, ((_ROWS, _ROWS), (_PAD, _PAD)), mode="edge")
+
+    spec = lambda d: pl.BlockSpec((_ROWS, wp + 2 * _PAD),
+                                  lambda y, d=d: (y + d, 0),
+                                  memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_bilat_kernel, radius=radius, sk=sk,
+                          inv_2var=inv_2var, lut_scale=lut_scale,
+                          n_tiles=wp // _LANE),
+        grid=(hp // _ROWS,),
+        in_specs=[spec(0), spec(1), spec(2)],
+        out_specs=pl.BlockSpec((_ROWS, wp), lambda y: (y, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(a, a, a)
+    return out[:h, :w]

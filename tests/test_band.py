@@ -240,3 +240,44 @@ def test_band_engine_pipeline_close(stereo_pair):
     mismatch = np.mean(_np(dx_l) != _np(db_l))
     assert mismatch < 0.02, mismatch
     np.testing.assert_allclose(_np(dx_l), _np(db_l), atol=12.0)
+
+
+def test_bilateral_kern_matches_xla(stereo_pair, rng):
+    """Pallas bilateral filter vs ops.filters.filter_bilateral: identical
+    accumulation order, so interpret mode matches bit for bit."""
+    from stereo_to_multiview_tpu.ops.postkern import filter_bilateral_kern
+    left, _ = stereo_pair
+    h, w = left.shape[:2]
+    disp = jnp.asarray(
+        (rng.random((h, w)) * 12 - 6).astype(np.float32))
+    ref = ops.filter_bilateral(disp, 3, 5.0, 10.0, 12)
+    out = filter_bilateral_kern(disp, 3, 5.0, 10.0, 12, interpret=True)
+    np.testing.assert_allclose(_np(ref), _np(out), rtol=1e-6, atol=1e-6)
+
+
+def test_dcc_occl_kern_matches_xla(stereo_pair, rng):
+    """Banded-compare DCC/occlusion kernel vs the XLA select-shift ops:
+    bit-exact labels and hit masks, including clamped border targets."""
+    from stereo_to_multiview_tpu.ops.postkern import dcc_occl_kern
+    left, _ = stereo_pair
+    h, w = left.shape[:2]
+    nd, zd = 12, 6
+    disp_l = jnp.asarray(
+        rng.integers(-zd, nd - zd, (h, w)).astype(np.float32))
+    disp_r = jnp.asarray(
+        rng.integers(-zd, nd - zd, (h, w)).astype(np.float32))
+
+    ref_l, ref_r = ops.dr_dcc(disp_l, disp_r, 1.0, num_disp=nd,
+                              zero_disp=zd)
+    out_l, out_r = dcc_occl_kern(disp_l, disp_r, 1.0, with_labels=True,
+                                 interpret=True)
+    np.testing.assert_array_equal(_np(ref_l), _np(out_l))
+    np.testing.assert_array_equal(_np(ref_r), _np(out_r))
+
+    # occlusion hits on refined (float) disparities: trunc-toward-zero
+    fl = disp_l + jnp.asarray(rng.random((h, w)).astype(np.float32)) * 0.9
+    fr = disp_r + jnp.asarray(rng.random((h, w)).astype(np.float32)) * 0.9
+    refh_l, refh_r = ops.dibr_occl(fl, fr, num_disp=nd, zero_disp=zd)
+    oh_l, oh_r = dcc_occl_kern(fl, fr, with_labels=False, interpret=True)
+    np.testing.assert_array_equal(_np(refh_l), _np(oh_l))
+    np.testing.assert_array_equal(_np(refh_r), _np(oh_r))
