@@ -105,22 +105,27 @@ def main():
               B.band_stereo_core_chunked(l, r, al, ar, cfg, interp),
               img_l, img_r, arms_l, arms_r)
     if W("dcc"):
-        timed("dr_dcc", lambda a, b: ops.dr_dcc(
-            a, b, cfg.dcc_thresh, num_disp=cfg.num_disp,
-            zero_disp=cfg.zero_disp), disp_l, disp_r)
+        from stereo_to_multiview_tpu.ops.postkern import dcc_occl_kern
+        timed("dcc_occl_kern", lambda a, b: dcc_occl_kern(
+            a, b, cfg.dcc_thresh, with_labels=True, interpret=interp),
+            disp_l, disp_r)
     if W("irv"):
         timed(f"dr_irv_chunked x{cfg.irv_iterations}",
               lambda dl, ol, dr_, orr, al, ar: B.dr_irv_band_chunked(
                   dl, ol, dr_, orr, al, ar, cfg, interp),
               disp_l, out_l, disp_r, out_r, arms_l, arms_r)
     if W("bilateral"):
-        timed("bilateral x2", lambda a, b: (
-            ops.filter_bilateral(a, cfg.bilateral_radius,
-                                 cfg.bilateral_sigma_color,
-                                 cfg.bilateral_sigma_spatial, cfg.num_disp),
-            ops.filter_bilateral(b, cfg.bilateral_radius,
-                                 cfg.bilateral_sigma_color,
-                                 cfg.bilateral_sigma_spatial, cfg.num_disp)),
+        from stereo_to_multiview_tpu.ops.postkern import (
+            filter_bilateral_kern)
+        timed("bilateral_kern x2", lambda a, b: (
+            filter_bilateral_kern(a, cfg.bilateral_radius,
+                                  cfg.bilateral_sigma_color,
+                                  cfg.bilateral_sigma_spatial,
+                                  cfg.num_disp, interp),
+            filter_bilateral_kern(b, cfg.bilateral_radius,
+                                  cfg.bilateral_sigma_color,
+                                  cfg.bilateral_sigma_spatial,
+                                  cfg.num_disp, interp)),
             disp_l, disp_r)
     if W("synth"):
         from stereo_to_multiview_tpu.models.pipeline import synthesize_views

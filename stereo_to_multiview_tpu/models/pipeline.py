@@ -53,8 +53,17 @@ def compute_disparities(img_l: jnp.ndarray, img_r: jnp.ndarray,
     interpret = jax.default_backend() == "cpu"
 
     with stage_scope("ca_cross_arms"):
-        arms_l = ops.cross_arms(img_l, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd)
-        arms_r = ops.cross_arms(img_r, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd)
+        if band and cfg.usd <= 64:
+            from stereo_to_multiview_tpu.ops.postkern import cross_arms_kern
+            arms_l = cross_arms_kern(img_l, cfg.ucd, cfg.lcd, cfg.usd,
+                                     cfg.lsd, interpret)
+            arms_r = cross_arms_kern(img_r, cfg.ucd, cfg.lcd, cfg.usd,
+                                     cfg.lsd, interpret)
+        else:
+            arms_l = ops.cross_arms(img_l, cfg.ucd, cfg.lcd, cfg.usd,
+                                    cfg.lsd)
+            arms_r = ops.cross_arms(img_r, cfg.ucd, cfg.lcd, cfg.usd,
+                                    cfg.lsd)
 
     if band:
         from stereo_to_multiview_tpu.ops.band import band_stereo_core_chunked

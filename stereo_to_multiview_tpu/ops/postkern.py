@@ -28,6 +28,7 @@ F32 = jnp.float32
 _LANE = 128
 _ROWS = 8
 _PAD = 128
+_VMEM_LIMIT = 96 * 1024 * 1024
 
 
 def _window(chunks, lo: int, rows: int):
@@ -126,6 +127,103 @@ def _dcc_kernel(dl_ref, dr_ref, out_l_ref, out_r_ref, *, n_tiles: int,
             lab_r = jnp.where(mm_r, jnp.where(hit_r, 1, 2), 0)
             out_l_ref[r, x0:x0 + _LANE] = lab_l.astype(jnp.int32)
             out_r_ref[r, x0:x0 + _LANE] = lab_r.astype(jnp.int32)
+
+
+_ARMROWS = 64   # rows per grid step in the arms kernel (>= usd reach)
+
+
+def _arms_kernel(b0, b1, b2, up_ref, dn_ref, *, usd: int, lsd: int,
+                 ucd: float, lcd: float, g_h: int, rows: int):
+    """UP and DOWN arm lengths for one `rows`-row block.
+
+    b0/b1/b2: consecutive (3, rows, WP) channel-plane row blocks of the
+    row-padded image (vertical reach usd <= rows); every sample at y -+ k
+    is a static sublane slice -- no rolls, no gathers.  The LEFT/RIGHT
+    arms are this same kernel on the (W, H) transpose.
+
+    Reference semantics (d_ca_cross.cu:41-69, quirk included): the arm
+    value is written before the color test, so arm = sum_k [in_bounds(k)
+    and no color failure at any j < k]; tiers (k <= lsd vs beyond) per
+    dc_ca_cross's two-threshold rule.
+    """
+    y = pl.program_id(0)
+    full = jnp.concatenate([b0[:], b1[:], b2[:]], axis=1)  # (3, 3R, WP)
+    anc = [full[c, rows:2 * rows, :].astype(jnp.int32) for c in range(3)]
+    g_y = (jax.lax.broadcasted_iota(jnp.int32, anc[0].shape, 0)
+           + y * rows)
+
+    for dy, out_ref in ((-1, up_ref), (1, dn_ref)):
+        arm = jnp.zeros(anc[0].shape, jnp.int32)
+        alive = jnp.ones(anc[0].shape, jnp.bool_)
+        prev = anc
+        for k in range(1, usd + 1):
+            o = rows + dy * k
+            cur = [full[c, o:o + rows, :].astype(jnp.int32)
+                   for c in range(3)]
+            ac = jnp.maximum(jnp.maximum(jnp.abs(cur[0] - anc[0]),
+                                         jnp.abs(cur[1] - anc[1])),
+                             jnp.abs(cur[2] - anc[2])).astype(F32)
+            if k <= lsd:
+                cp = jnp.maximum(jnp.maximum(jnp.abs(cur[0] - prev[0]),
+                                             jnp.abs(cur[1] - prev[1])),
+                                 jnp.abs(cur[2] - prev[2])).astype(F32)
+                fail = (ac > F32(lcd)) | (cp > F32(lcd))
+            else:
+                fail = ac > F32(ucd)
+            if dy < 0:
+                in_b = g_y - k >= 0
+            else:
+                in_b = g_y + k <= g_h - 1
+            arm = arm + jnp.where(in_b & alive, 1, 0)
+            alive = alive & ~fail
+            prev = cur
+        out_ref[...] = arm
+
+
+@functools.partial(jax.jit, static_argnames=("ucd", "lcd", "usd", "lsd",
+                                             "interpret"))
+def _arms_vertical(planes: jnp.ndarray, ucd: float, lcd: float, usd: int,
+                   lsd: int, interpret: bool = False):
+    """(3, H, W) i32 channel planes -> (up, dn) (H, W) i32 arm lengths."""
+    _, h, w = planes.shape
+    r = _ARMROWS
+    hp = -(-h // r) * r
+    wp = -(-w // _LANE) * _LANE
+    p = jnp.pad(planes, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
+    p = jnp.pad(p, ((0, 0), (r, r), (0, 0)))   # block-aligned row halo
+
+    spec = lambda d: pl.BlockSpec((3, r, wp), lambda y, d=d: (0, y + d, 0),
+                                  memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((r, wp), lambda y: (y, 0),
+                         memory_space=pltpu.VMEM)
+    up, dn = pl.pallas_call(
+        functools.partial(_arms_kernel, usd=usd, lsd=lsd, ucd=float(ucd),
+                          lcd=float(lcd), g_h=h, rows=r),
+        grid=(hp // r,),
+        in_specs=[spec(0), spec(1), spec(2)],
+        out_specs=(ospec, ospec),
+        out_shape=(jax.ShapeDtypeStruct((hp, wp), jnp.int32),) * 2,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(p, p, p)
+    return up[:h, :w], dn[:h, :w]
+
+
+def cross_arms_kern(img: jnp.ndarray, ucd: float, lcd: float, usd: int,
+                    lsd: int, interpret: bool = False) -> jnp.ndarray:
+    """(4, H, W) int32 cross arms (UP, DOWN, LEFT, RIGHT) via two Pallas
+    passes: vertical arms on the natural layout, horizontal arms as
+    vertical arms on the (W, H) transpose -- every sample is a static
+    sublane slice.  Identical values to ops.cross.cross_arms."""
+    if usd > _ARMROWS:
+        raise ValueError(f"cross_arms_kern supports usd <= {_ARMROWS}")
+    planes = jnp.moveaxis(img.astype(jnp.int32), 2, 0)       # (3, H, W)
+    up, dn = _arms_vertical(planes, ucd, lcd, usd, lsd, interpret)
+    pt = jnp.swapaxes(planes, 1, 2)                          # (3, W, H)
+    left_t, right_t = _arms_vertical(pt, ucd, lcd, usd, lsd, interpret)
+    return jnp.stack([up, dn, left_t.T, right_t.T])
 
 
 @functools.partial(jax.jit, static_argnames=("thresh", "with_labels",

@@ -281,3 +281,15 @@ def test_dcc_occl_kern_matches_xla(stereo_pair, rng):
     oh_l, oh_r = dcc_occl_kern(fl, fr, with_labels=False, interpret=True)
     np.testing.assert_array_equal(_np(refh_l), _np(oh_l))
     np.testing.assert_array_equal(_np(refh_r), _np(oh_r))
+
+
+def test_cross_arms_kern_matches_xla(stereo_pair):
+    """Two-pass (vertical + transposed-vertical) Pallas arms kernel vs
+    ops.cross.cross_arms: bit-exact, borders and tier rule included."""
+    from stereo_to_multiview_tpu.ops.postkern import cross_arms_kern
+    left, right = stereo_pair
+    for img in (left, right):
+        im = jnp.asarray(img)
+        ref = ops.cross_arms(im, 6.0, 20.0, 9, 4)
+        out = cross_arms_kern(im, 6.0, 20.0, 9, 4, interpret=True)
+        np.testing.assert_array_equal(_np(ref), _np(out))
