@@ -107,8 +107,9 @@ def main():
     if W("dcc"):
         from stereo_to_multiview_tpu.ops.postkern import dcc_occl_kern
         timed("dcc_occl_kern", lambda a, b: dcc_occl_kern(
-            a, b, cfg.dcc_thresh, with_labels=True, interpret=interp),
-            disp_l, disp_r)
+            a, b, cfg.dcc_thresh, with_labels=True,
+            num_disp=cfg.num_disp, zero_disp=cfg.zero_disp,
+            interpret=interp), disp_l, disp_r)
     if W("irv"):
         timed(f"dr_irv_chunked x{cfg.irv_iterations}",
               lambda dl, ol, dr_, orr, al, ar: B.dr_irv_band_chunked(

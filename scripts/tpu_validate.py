@@ -91,6 +91,14 @@ def phase_fish():
     _phase_pipeline(FISH, "process_frame fish 640x384/D64/V8")
 
 
+def phase_hd4k():
+    """BASELINE measurement config 4: 4K in -> 16 interlaced views at 4K
+    (identity-resolution interlace: a pure 16-way select)."""
+    _setup()
+    from stereo_to_multiview_tpu.config import UHD4K_16V
+    _phase_pipeline(UHD4K_16V, "process_frame 4K/D128/V16")
+
+
 def phase_hd():
     from stereo_to_multiview_tpu.config import HD1080_D128
     _phase_pipeline(HD1080_D128, "process_frame 1080p/D128/V8")
@@ -134,11 +142,13 @@ def make_fidelity_golden():
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("phase", choices=["band", "fish", "hd", "fidelity",
+    ap.add_argument("phase", choices=["band", "fish", "hd", "hd4k",
+                                      "fidelity",
                                       "golden"])
     args = ap.parse_args()
     {"band": phase_band, "fish": phase_fish, "hd": phase_hd,
-     "fidelity": phase_fidelity, "golden": make_fidelity_golden}[args.phase]()
+     "hd4k": phase_hd4k, "fidelity": phase_fidelity,
+     "golden": make_fidelity_golden}[args.phase]()
 
 
 if __name__ == "__main__":

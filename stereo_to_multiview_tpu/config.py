@@ -69,9 +69,13 @@ class PipelineConfig:
     band_nsplit: int = 2         # bf16 split terms for float band matmuls
                                  # (2 ~ 1e-5 rel err, 3 ~ f32; IRV is exact
                                  # regardless)
-    band_row_chunk: int = 288    # stereo-core rows per streamed chunk (the
-                                 # (H, W, D) volume never fully materializes
-                                 # in HBM); 0 = whole frame at once
+    band_row_chunk: int = 0      # stereo-core rows per streamed chunk; 0 =
+                                 # whole frame at once (int16 intermediate
+                                 # volumes keep 1080p under ~3 GB of HBM;
+                                 # set a chunk for 4K+ frames)
+    irv_row_chunk: int = 0       # IRV rows per streamed chunk (0 = whole
+                                 # frame; the bf16 row-span volume is half
+                                 # the size of a cost volume)
 
     # --- optional stages ---
     use_hslo: bool = False       # real scanline optimization (reference stub
@@ -135,4 +139,5 @@ HD1080_D128 = PipelineConfig(
     num_disp=128, zero_disp=64, num_views=8)
 UHD4K_16V = PipelineConfig(
     num_rows=2160, num_cols=3840, num_rows_out=2160, num_cols_out=3840,
-    num_disp=128, zero_disp=64, num_views=16)
+    num_disp=128, zero_disp=64, num_views=16,
+    band_row_chunk=540, irv_row_chunk=1080)

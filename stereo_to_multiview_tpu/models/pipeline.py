@@ -56,9 +56,9 @@ def compute_disparities(img_l: jnp.ndarray, img_r: jnp.ndarray,
         if band and cfg.usd <= 64:
             from stereo_to_multiview_tpu.ops.postkern import cross_arms_kern
             arms_l = cross_arms_kern(img_l, cfg.ucd, cfg.lcd, cfg.usd,
-                                     cfg.lsd, interpret)
+                                     cfg.lsd, interpret=interpret)
             arms_r = cross_arms_kern(img_r, cfg.ucd, cfg.lcd, cfg.usd,
-                                     cfg.lsd, interpret)
+                                     cfg.lsd, interpret=interpret)
         else:
             arms_l = ops.cross_arms(img_l, cfg.ucd, cfg.lcd, cfg.usd,
                                     cfg.lsd)
@@ -101,6 +101,8 @@ def compute_disparities(img_l: jnp.ndarray, img_r: jnp.ndarray,
             from stereo_to_multiview_tpu.ops.postkern import dcc_occl_kern
             out_l, out_r = dcc_occl_kern(disp_l, disp_r, cfg.dcc_thresh,
                                          with_labels=True,
+                                         num_disp=cfg.num_disp,
+                                         zero_disp=cfg.zero_disp,
                                          interpret=interpret)
         else:
             out_l, out_r = ops.dr_dcc(disp_l, disp_r, cfg.dcc_thresh,
@@ -161,6 +163,8 @@ def synthesize_views(img_l, img_r, disp_l, disp_r, cfg: PipelineConfig):
             from stereo_to_multiview_tpu.ops.postkern import dcc_occl_kern
             occl_l, occl_r = dcc_occl_kern(disp_l, disp_r,
                                            with_labels=False,
+                                           num_disp=cfg.num_disp,
+                                           zero_disp=cfg.zero_disp,
                                            interpret=interpret)
         else:
             occl_l, occl_r = ops.dibr_occl(disp_l, disp_r,
@@ -178,29 +182,36 @@ def synthesize_views(img_l, img_r, disp_l, disp_r, cfg: PipelineConfig):
     v = cfg.num_views
     mids = []
     with stage_scope("dibr_dbm"):
-        for v_i in range(1, v - 1):
-            # f32 arithmetic like the reference's float expression
-            # (d_io.cu:189) -- also keeps the traced-shift sharded
-            # synthesizer bit-identical
-            import numpy as np
-            shift = float(np.float32(1.0)
-                          - np.float32(v_i) / np.float32(v - 1.0))
-            if band:
-                from stereo_to_multiview_tpu.ops.warpkern import (
-                    dibr_warp_pair_kern)
-                va, vb = dibr_warp_pair_kern(img_l, img_r, disp_l, disp_r,
-                                             shift, cfg.num_disp,
-                                             cfg.zero_disp, interpret)
-                view_from_l = (va * mask_r[:, :, None]).astype(jnp.uint8)
-                view_from_r = (vb * mask_l[:, :, None]).astype(jnp.uint8)
-            else:
+        import numpy as np
+        # f32 arithmetic like the reference's float expression
+        # (d_io.cu:189) -- also keeps the traced-shift sharded
+        # synthesizer bit-identical
+        shifts = tuple(float(np.float32(1.0)
+                             - np.float32(v_i) / np.float32(v - 1.0))
+                       for v_i in range(1, v - 1))
+        if band and shifts:
+            # one kernel for every intermediate view: the per-offset
+            # sample windows are shared across views
+            from stereo_to_multiview_tpu.ops.warpkern import (
+                dibr_warp_views_kern)
+            va, vb = dibr_warp_views_kern(img_l, img_r, disp_l, disp_r,
+                                          shifts, cfg.num_disp,
+                                          cfg.zero_disp, interpret)
+            for j in range(len(shifts)):
+                view_from_l = (va[j] * mask_r[:, :, None]).astype(jnp.uint8)
+                view_from_r = (vb[j] * mask_l[:, :, None]).astype(jnp.uint8)
+                mids.append(mux_merge_ab(view_from_l, view_from_r,
+                                         feathered))
+        else:
+            for shift in shifts:
                 view_from_l = dibr_backward_warp(
                     img_l, mask_r, disp_r, -shift,
                     cfg.num_disp, cfg.zero_disp)
                 view_from_r = dibr_backward_warp(
                     img_r, mask_l, disp_l, 1.0 - shift,
                     cfg.num_disp, cfg.zero_disp)
-            mids.append(mux_merge_ab(view_from_l, view_from_r, feathered))
+                mids.append(mux_merge_ab(view_from_l, view_from_r,
+                                         feathered))
 
     if v > 2:
         views = jnp.stack([img_r] + mids + [img_l])

@@ -100,31 +100,34 @@ def _terms(x, mode: str, terms: int):
 
 def _res_kernel(an_ref, ap_ref, vol_ref, out_ref, *, inclusive: bool,
                 mode: str, terms: int, rescale: int, wta: bool,
-                zero_disp: int, n_tiles: int, rows: int):
+                zero_disp: int, n_tiles: int, rows: int, otile: int):
     """One `rows`-row grid step over the whole padded width.
 
     an/ap: (rows, WP) i32 arms in natural layout.
     vol: (rows, WP + 128, D) volume with a 64-column zero halo each side.
-    out: (rows, WP, D) f32 sums, or (rows, WP) f32 disparities when `wta`.
+    out: (rows, WP, D) sums, or (rows, WP) f32 disparities when `wta`.
+    otile: output-tile width (multiple of 128; wider tiles halve the
+    per-unit instruction stream, the measured bottleneck -- the kernel is
+    issue-bound, not MXU- or DMA-bound, at 128).
     """
-    o = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 2 * _LANE), 0)
-    i = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 2 * _LANE), 1)
+    o = jax.lax.broadcasted_iota(jnp.int32, (otile, otile + 2 * _HALO), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (otile, otile + 2 * _HALO), 1)
     roff = i - _HALO - o            # offset of window pos i from output o
 
     an_all = an_ref[:].T            # (WP, rows): one small relayout/step
     ap_all = ap_ref[:].T
 
     for t in range(n_tiles):
-        a0 = t * _LANE
+        a0 = t * otile
         for r in range(rows):
-            an = an_all[a0:a0 + _LANE, r:r + 1]      # (128, 1)
-            ap = ap_all[a0:a0 + _LANE, r:r + 1]
+            an = an_all[a0:a0 + otile, r:r + 1]      # (otile, 1)
+            ap = ap_all[a0:a0 + otile, r:r + 1]
             if inclusive:
                 band = (roff >= -an) & (roff <= ap)
             else:
                 band = (roff >= -an) & (roff < ap)
             a = band.astype(BF16)                    # exact 0/1
-            x = vol_ref[r, a0:a0 + 2 * _LANE, :]     # (256, D) window
+            x = vol_ref[r, a0:a0 + otile + 2 * _HALO, :]   # (win, D)
             y = None
             for part, scale in _terms(x, mode, terms):
                 dot = jnp.dot(a, part, preferred_element_type=F32)
@@ -135,22 +138,26 @@ def _res_kernel(an_ref, ap_ref, vol_ref, out_ref, *, inclusive: bool,
                 y = jnp.floor(y * F32(2.0 ** -rescale) + F32(0.5))
             if wta:
                 am = jnp.argmin(y, axis=1).astype(jnp.int32)
-                out_ref[r, a0:a0 + _LANE] = (am - zero_disp).astype(F32)
+                out_ref[r, a0:a0 + otile] = (am - zero_disp).astype(F32)
             else:
-                out_ref[r, a0:a0 + _LANE, :] = y
+                out_ref[r, a0:a0 + otile, :] = y.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "inclusive", "mode", "terms", "rescale", "wta", "zero_disp", "rows",
-    "interpret"))
+    "otile", "out_dtype", "interpret"))
 def _band_pass_h(vol: jnp.ndarray, arm_neg: jnp.ndarray,
                  arm_pos: jnp.ndarray, *, inclusive: bool = False,
                  mode: str = "float", terms: int = 2, rescale: int = 0,
                  wta: bool = False, zero_disp: int = 0, rows: int = _ROWS,
+                 otile: int = 2 * _LANE, out_dtype=jnp.float32,
                  interpret: bool = False) -> jnp.ndarray:
-    """Windowed sum along axis 1 of a (H, W, D) volume (see _res_kernel)."""
+    """Windowed sum along axis 1 of a (H, W, D) volume (see _res_kernel).
+    out_dtype int16 is valid when every output fits in [-32768, 32767]
+    (the quantized pipeline's rescales guarantee it) and halves the HBM
+    traffic of the intermediate volumes."""
     h, w, d = vol.shape
-    wp = -(-w // _LANE) * _LANE
+    wp = -(-w // otile) * otile
     hp = -(-h // rows) * rows
 
     vol = jnp.pad(vol, ((0, hp - h), (_HALO, _HALO + wp - w), (0, 0)))
@@ -169,13 +176,13 @@ def _band_pass_h(vol: jnp.ndarray, arm_neg: jnp.ndarray,
     else:
         out_spec = pl.BlockSpec((rows, wp, d), lambda y: (y, 0, 0),
                                 memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((hp, wp, d), jnp.float32)
+        out_shape = jax.ShapeDtypeStruct((hp, wp, d), out_dtype)
 
     out = pl.pallas_call(
         functools.partial(_res_kernel, inclusive=inclusive, mode=mode,
                           terms=terms, rescale=rescale, wta=wta,
-                          zero_disp=zero_disp, n_tiles=wp // _LANE,
-                          rows=rows),
+                          zero_disp=zero_disp, n_tiles=wp // otile,
+                          rows=rows, otile=otile),
         grid=(hp // rows,),
         in_specs=[arm_spec, arm_spec, vol_spec],
         out_specs=out_spec,
@@ -226,15 +233,16 @@ def quantize_cost(cost: jnp.ndarray) -> jnp.ndarray:
 def agg_rescale_shifts(max_arm: int):
     """Power-of-2 rescale shifts (after passes 2 and 3) for the quantized
     aggregation: the smallest shifts that keep every pass's input below
-    2^16 (two bf16-exact base-256 digits) and every accumulation below
-    2^24 (f32-exact).  Smaller arms need smaller shifts -> finer values.
+    2^15 (int16-storable, two bf16-exact base-256 digits) and every
+    accumulation below 2^24 (f32-exact).  Smaller arms need smaller
+    shifts -> finer values.
     """
     import math
     wmax = 2 * max_arm + 1
     v1 = 254 * wmax                              # pass-1 output bound
-    s2 = max(0, math.ceil(math.log2(v1 * wmax / 65535.0)))
+    s2 = max(0, math.ceil(math.log2(v1 * wmax / 32767.0)))
     v2 = math.floor(v1 * wmax * 2.0 ** -s2 + 0.5)
-    s3 = max(0, math.ceil(math.log2(v2 * wmax / 65535.0)))
+    s3 = max(0, math.ceil(math.log2(v2 * wmax / 32767.0)))
     return s2, s3
 
 
@@ -256,13 +264,16 @@ def band_aggregate_q(cost_q: jnp.ndarray, arms: jnp.ndarray, max_arm: int,
     if max_arm > _HALO:
         raise ValueError("band aggregation requires max_arm (usd) <= 64")
     s2, s3 = agg_rescale_shifts(max_arm)
+    # intermediate volumes are int16: pass-1 output <= 254*129 = 32766 and
+    # the rescales keep passes 2/3 below 2^15 -- half the HBM bytes of f32
+    i16 = jnp.int16
     a = _band_pass_h(cost_q, arms[LEFT], arms[RIGHT], mode="int", terms=1,
-                     interpret=interpret)
+                     out_dtype=i16, interpret=interpret)
     at = jnp.swapaxes(a, 0, 1)
     at = _band_pass_h(at, arms[UP].T, arms[DOWN].T, mode="int", terms=2,
-                      rescale=s2, interpret=interpret)
+                      rescale=s2, out_dtype=i16, interpret=interpret)
     at = _band_pass_h(at, arms[UP].T, arms[DOWN].T, mode="int", terms=2,
-                      rescale=s3, interpret=interpret)
+                      rescale=s3, out_dtype=i16, interpret=interpret)
     a = jnp.swapaxes(at, 0, 1)
     if zero_disp is None:
         return _band_pass_h(a, arms[LEFT], arms[RIGHT], mode="int", terms=2,
@@ -407,7 +418,7 @@ def dr_irv_band_chunked(disp_l, outl_l, disp_r, outl_r, arms_l, arms_r,
     from stereo_to_multiview_tpu.ops.irvkern import irv_round_kern
     h = disp_l.shape[0]
     usd = cfg.usd
-    chunk = cfg.band_row_chunk or h
+    chunk = getattr(cfg, "irv_row_chunk", 0) or h
     ext, bounds = _chunk_bounds(h, chunk, usd)
 
     def one_round(dl, ol, dr_, orr):

@@ -71,69 +71,77 @@ def _bilat_kernel(b0, b1, b2, out_ref, *, radius: int, sk, inv_2var: float,
 
 
 def _dcc_kernel(dl_ref, dr_ref, out_l_ref, out_r_ref, *, n_tiles: int,
-                rows: int, w: int, thresh: float, with_labels: bool):
+                rows: int, w: int, reach: int, thresh: float,
+                with_labels: bool):
     """Cross-check labels (d_dr_dcc.cu:35-82) or occlusion hits
     (d_dibr_occl.cu:114-128) for both eyes, one `rows`-row block per step.
 
     Every dynamic-offset lookup/scatter becomes a banded compare over the
-    [x0-128, x0+256) window (disparity reach <= 128): the consistency read
+    [x0-reach, x0+128+reach) window: the consistency read
     d_b[clamp(x + d_a[x])] is a one-hot offset compare times the edge-
     padded window (the pad IS the clamp), summed over lanes; the scatter
-    hit is a clamped-target compare + lane reduction.  All integer-exact.
+    hit is a clamped-target compare + lane reduction.  All rows of the
+    block are processed per op ((rows, 128, win) tensors -- per-row
+    (1, x) streams are issue-bound on the VPU).  Integer-exact.
 
-    dl/dr refs: (rows, WP + 256) f32 rows, 128 edge-pad columns each side.
+    dl/dr refs: (rows, WP + 2*reach) f32, edge-padded columns.
     outs: (rows, WP) i32 -- labels 0/1/2 (with_labels) or 0/1 hit flags.
     """
-    o = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 3 * _LANE), 0)
-    i = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 3 * _LANE), 1)
-    roff = i - _PAD - o                        # window offset of i from o
+    win = _LANE + 2 * reach
+    o = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE, win), 1)
+    i = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE, win), 2)
+    roff = i - reach - o                       # window offset of i from o
 
     for t in range(n_tiles):
         x0 = t * _LANE
-        for r in range(rows):
-            dl_win = dl_ref[r:r + 1, x0:x0 + 3 * _LANE]      # (1, 384) f32
-            dr_win = dr_ref[r:r + 1, x0:x0 + 3 * _LANE]
-            dl_wi = dl_win.astype(jnp.int32)                 # trunc to 0
-            dr_wi = dr_win.astype(jnp.int32)
-            dl_c = dl_wi[:, _PAD:_PAD + _LANE].T             # (128, 1)
-            dr_c = dr_wi[:, _PAD:_PAD + _LANE].T
-            i_abs = i - _PAD + x0                            # abs position
-            valid = (i_abs >= 0) & (i_abs < w)
+        dl_win = dl_ref[:, x0:x0 + win]                  # (rows, win) f32
+        dr_win = dr_ref[:, x0:x0 + win]
+        dl_wi = dl_win.astype(jnp.int32)                 # trunc toward 0
+        dr_wi = dr_win.astype(jnp.int32)
+        i_abs = (i - reach + x0)[:, 0:1, :]              # (1, 1, win)
+        valid = (i_abs >= 0) & (i_abs < w)
 
-            # scatter hit: any in-image writer whose clamped target is o
-            hit_r_b = valid & (jnp.clip(i_abs + dl_wi, 0, w - 1) == o + x0)
-            hit_l_b = valid & (jnp.clip(i_abs - dr_wi, 0, w - 1) == o + x0)
-            hit_r = jnp.sum(hit_r_b.astype(jnp.int32), axis=1) > 0  # (128,)
-            hit_l = jnp.sum(hit_l_b.astype(jnp.int32), axis=1) > 0
+        # scatter hit: any in-image writer whose clamped target is o
+        tl = jnp.clip(i_abs + dl_wi[:, None, :], 0, w - 1)  # (R, 1->, win)
+        tr = jnp.clip(i_abs - dr_wi[:, None, :], 0, w - 1)
+        o_abs = o + x0
+        hit_r = jnp.any(valid & (tl == o_abs), axis=2)      # (rows, 128)
+        hit_l = jnp.any(valid & (tr == o_abs), axis=2)
 
-            if not with_labels:
-                out_r_ref[r, x0:x0 + _LANE] = hit_r.astype(jnp.int32)
-                out_l_ref[r, x0:x0 + _LANE] = hit_l.astype(jnp.int32)
-                continue
+        if not with_labels:
+            out_r_ref[:, x0:x0 + _LANE] = hit_r.astype(jnp.int32)
+            out_l_ref[:, x0:x0 + _LANE] = hit_l.astype(jnp.int32)
+            continue
 
-            # consistency read d_b[clamp(x + d_a[x])]: the edge-padded
-            # window holds the clamped border value at out-of-image i,
-            # so a plain offset match suffices; exactly one i matches.
-            sel_l = (roff == dl_c)
-            sel_r = (roff == -dr_c)
-            ref_l = jnp.sum(jnp.where(sel_l, dr_win, F32(0.0)), axis=1)
-            ref_r = jnp.sum(jnp.where(sel_r, dl_win, F32(0.0)), axis=1)
-            mm_l = jnp.abs(dl_c[:, 0].astype(F32) - ref_l) > F32(thresh)
-            mm_r = jnp.abs(dr_c[:, 0].astype(F32) - ref_r) > F32(thresh)
+        # consistency read d_b[clamp(x + d_a[x])]: the edge-padded window
+        # holds the clamped border value at out-of-image i, so a plain
+        # offset match suffices; exactly one i matches per (row, o).
+        dl_c = dl_wi[:, reach:reach + _LANE]             # (rows, 128)
+        dr_c = dr_wi[:, reach:reach + _LANE]
+        sel_l = roff == dl_c[:, :, None]
+        sel_r = roff == -dr_c[:, :, None]
+        ref_l = jnp.sum(jnp.where(sel_l, dr_win[:, None, :], F32(0.0)),
+                        axis=2)
+        ref_r = jnp.sum(jnp.where(sel_r, dl_win[:, None, :], F32(0.0)),
+                        axis=2)
+        ctr_l = dl_win[:, reach:reach + _LANE]
+        ctr_r = dr_win[:, reach:reach + _LANE]
+        mm_l = jnp.abs(ctr_l - ref_l) > F32(thresh)
+        mm_r = jnp.abs(ctr_r - ref_r) > F32(thresh)
 
-            # label 1 = mismatch, upgraded to 2 when also disoccluded
-            # (never hit by any other-eye writer)
-            lab_l = jnp.where(mm_l, jnp.where(hit_l, 1, 2), 0)
-            lab_r = jnp.where(mm_r, jnp.where(hit_r, 1, 2), 0)
-            out_l_ref[r, x0:x0 + _LANE] = lab_l.astype(jnp.int32)
-            out_r_ref[r, x0:x0 + _LANE] = lab_r.astype(jnp.int32)
+        # label 1 = mismatch, upgraded to 2 when also disoccluded
+        # (never hit by any other-eye writer)
+        lab_l = jnp.where(mm_l, jnp.where(hit_l, 1, 2), 0)
+        lab_r = jnp.where(mm_r, jnp.where(hit_r, 1, 2), 0)
+        out_l_ref[:, x0:x0 + _LANE] = lab_l.astype(jnp.int32)
+        out_r_ref[:, x0:x0 + _LANE] = lab_r.astype(jnp.int32)
 
 
 _ARMROWS = 64   # rows per grid step in the arms kernel (>= usd reach)
 
 
-def _arms_kernel(b0, b1, b2, up_ref, dn_ref, *, usd: int, lsd: int,
-                 ucd: float, lcd: float, g_h: int, rows: int):
+def _arms_kernel(row0_ref, b0, b1, b2, up_ref, dn_ref, *, usd: int,
+                 lsd: int, ucd: float, lcd: float, g_h: int, rows: int):
     """UP and DOWN arm lengths for one `rows`-row block.
 
     b0/b1/b2: consecutive (3, rows, WP) channel-plane row blocks of the
@@ -148,108 +156,140 @@ def _arms_kernel(b0, b1, b2, up_ref, dn_ref, *, usd: int, lsd: int,
     """
     y = pl.program_id(0)
     full = jnp.concatenate([b0[:], b1[:], b2[:]], axis=1)  # (3, 3R, WP)
-    anc = [full[c, rows:2 * rows, :].astype(jnp.int32) for c in range(3)]
-    g_y = (jax.lax.broadcasted_iota(jnp.int32, anc[0].shape, 0)
-           + y * rows)
-
-    for dy, out_ref in ((-1, up_ref), (1, dn_ref)):
-        arm = jnp.zeros(anc[0].shape, jnp.int32)
-        alive = jnp.ones(anc[0].shape, jnp.bool_)
-        prev = anc
-        for k in range(1, usd + 1):
-            o = rows + dy * k
-            cur = [full[c, o:o + rows, :].astype(jnp.int32)
-                   for c in range(3)]
-            ac = jnp.maximum(jnp.maximum(jnp.abs(cur[0] - anc[0]),
-                                         jnp.abs(cur[1] - anc[1])),
-                             jnp.abs(cur[2] - anc[2])).astype(F32)
-            if k <= lsd:
-                cp = jnp.maximum(jnp.maximum(jnp.abs(cur[0] - prev[0]),
-                                             jnp.abs(cur[1] - prev[1])),
-                                 jnp.abs(cur[2] - prev[2])).astype(F32)
-                fail = (ac > F32(lcd)) | (cp > F32(lcd))
-            else:
-                fail = ac > F32(ucd)
-            if dy < 0:
-                in_b = g_y - k >= 0
-            else:
-                in_b = g_y + k <= g_h - 1
-            arm = arm + jnp.where(in_b & alive, 1, 0)
-            alive = alive & ~fail
-            prev = cur
-        out_ref[...] = arm
+    wp = full.shape[2]
+    # lane-tiled inner loop: full-width carried values ((rows, WP) ~ 128
+    # vregs each, ~10 live) spill catastrophically; 256-lane tiles keep
+    # the working set register-resident
+    tw = 2 * _LANE if wp % (2 * _LANE) == 0 else _LANE
+    for x0 in range(0, wp, tw):
+        anc = [full[c, rows:2 * rows, x0:x0 + tw].astype(jnp.int32)
+               for c in range(3)]
+        g_y = (jax.lax.broadcasted_iota(jnp.int32, anc[0].shape, 0)
+               + y * rows + row0_ref[0])
+        for dy, out_ref in ((-1, up_ref), (1, dn_ref)):
+            arm = jnp.zeros(anc[0].shape, jnp.int32)
+            alive = jnp.ones(anc[0].shape, jnp.bool_)
+            prev = anc
+            for k in range(1, usd + 1):
+                o = rows + dy * k
+                cur = [full[c, o:o + rows, x0:x0 + tw].astype(jnp.int32)
+                       for c in range(3)]
+                ac = jnp.maximum(jnp.maximum(jnp.abs(cur[0] - anc[0]),
+                                             jnp.abs(cur[1] - anc[1])),
+                                 jnp.abs(cur[2] - anc[2])).astype(F32)
+                if k <= lsd:
+                    cp = jnp.maximum(
+                        jnp.maximum(jnp.abs(cur[0] - prev[0]),
+                                    jnp.abs(cur[1] - prev[1])),
+                        jnp.abs(cur[2] - prev[2])).astype(F32)
+                    fail = (ac > F32(lcd)) | (cp > F32(lcd))
+                else:
+                    fail = ac > F32(ucd)
+                if dy < 0:
+                    in_b = g_y - k >= 0
+                else:
+                    in_b = g_y + k <= g_h - 1
+                arm = arm + jnp.where(in_b & alive, 1, 0)
+                alive = alive & ~fail
+                prev = cur
+            out_ref[:, x0:x0 + tw] = arm
 
 
 @functools.partial(jax.jit, static_argnames=("ucd", "lcd", "usd", "lsd",
-                                             "interpret"))
+                                             "g_h", "interpret"))
 def _arms_vertical(planes: jnp.ndarray, ucd: float, lcd: float, usd: int,
-                   lsd: int, interpret: bool = False):
-    """(3, H, W) i32 channel planes -> (up, dn) (H, W) i32 arm lengths."""
+                   lsd: int, row0=0, g_h: int | None = None,
+                   interpret: bool = False):
+    """(3, H, W) i32 channel planes -> (up, dn) (H, W) i32 arm lengths.
+    row0 (traced ok) / g_h: global row coordinates for halo-extended row
+    shards (see ops.cross._arm_length)."""
     _, h, w = planes.shape
+    if g_h is None:
+        g_h = h
     r = _ARMROWS
     hp = -(-h // r) * r
     wp = -(-w // _LANE) * _LANE
     p = jnp.pad(planes, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
     p = jnp.pad(p, ((0, 0), (r, r), (0, 0)))   # block-aligned row halo
+    row0_arr = jnp.asarray(row0, jnp.int32).reshape(1)
 
-    spec = lambda d: pl.BlockSpec((3, r, wp), lambda y, d=d: (0, y + d, 0),
+    spec = lambda d: pl.BlockSpec((3, r, wp),
+                                  lambda y, f, d=d: (0, y + d, 0),
                                   memory_space=pltpu.VMEM)
-    ospec = pl.BlockSpec((r, wp), lambda y: (y, 0),
+    ospec = pl.BlockSpec((r, wp), lambda y, f: (y, 0),
                          memory_space=pltpu.VMEM)
     up, dn = pl.pallas_call(
         functools.partial(_arms_kernel, usd=usd, lsd=lsd, ucd=float(ucd),
-                          lcd=float(lcd), g_h=h, rows=r),
-        grid=(hp // r,),
-        in_specs=[spec(0), spec(1), spec(2)],
-        out_specs=(ospec, ospec),
+                          lcd=float(lcd), g_h=g_h, rows=r),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(hp // r,),
+            in_specs=[spec(0), spec(1), spec(2)],
+            out_specs=(ospec, ospec)),
         out_shape=(jax.ShapeDtypeStruct((hp, wp), jnp.int32),) * 2,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(p, p, p)
+    )(row0_arr, p, p, p)
     return up[:h, :w], dn[:h, :w]
 
 
 def cross_arms_kern(img: jnp.ndarray, ucd: float, lcd: float, usd: int,
-                    lsd: int, interpret: bool = False) -> jnp.ndarray:
+                    lsd: int, row_offset=None, global_h: int | None = None,
+                    interpret: bool = False) -> jnp.ndarray:
     """(4, H, W) int32 cross arms (UP, DOWN, LEFT, RIGHT) via two Pallas
     passes: vertical arms on the natural layout, horizontal arms as
     vertical arms on the (W, H) transpose -- every sample is a static
-    sublane slice.  Identical values to ops.cross.cross_arms."""
+    sublane slice.  Identical values to ops.cross.cross_arms, including
+    the halo-shard row_offset/global_h contract."""
     if usd > _ARMROWS:
         raise ValueError(f"cross_arms_kern supports usd <= {_ARMROWS}")
     planes = jnp.moveaxis(img.astype(jnp.int32), 2, 0)       # (3, H, W)
-    up, dn = _arms_vertical(planes, ucd, lcd, usd, lsd, interpret)
+    row0 = 0 if row_offset is None else row_offset
+    up, dn = _arms_vertical(planes, ucd, lcd, usd, lsd, row0=row0,
+                            g_h=global_h, interpret=interpret)
     pt = jnp.swapaxes(planes, 1, 2)                          # (3, W, H)
-    left_t, right_t = _arms_vertical(pt, ucd, lcd, usd, lsd, interpret)
+    left_t, right_t = _arms_vertical(pt, ucd, lcd, usd, lsd,
+                                     interpret=interpret)
     return jnp.stack([up, dn, left_t.T, right_t.T])
 
 
 @functools.partial(jax.jit, static_argnames=("thresh", "with_labels",
+                                             "num_disp", "zero_disp",
                                              "interpret"))
 def dcc_occl_kern(disp_l: jnp.ndarray, disp_r: jnp.ndarray,
                   thresh: float = 1.0, with_labels: bool = True,
+                  num_disp: int | None = None,
+                  zero_disp: int | None = None,
                   interpret: bool = False):
     """with_labels=True: dr_dcc outlier labels (uint8 0/1/2) for both
-    eyes.  False: dibr_occl visibility hits (uint8 0/1).  Disparity reach
-    must be <= 128 columns (num_disp, zero_disp <= 128)."""
+    eyes.  False: dibr_occl visibility hits (uint8 0/1).
+    num_disp/zero_disp bound the disparity reach (<= 128 columns); a
+    tighter bound shrinks the compare window."""
     h, w = disp_l.shape
     hp = -(-h // _ROWS) * _ROWS
     wp = -(-w // _LANE) * _LANE
+    if num_disp is None or zero_disp is None:
+        reach = _PAD
+    else:
+        bound = max(zero_disp, num_disp - zero_disp)
+        if bound > _PAD:
+            raise ValueError("disparity reach exceeds 128 columns")
+        reach = 64 if bound <= 64 else _PAD
 
     def prep(d):
         d = d.astype(F32)
         d = jnp.pad(d, ((0, hp - h), (0, wp - w)), mode="edge")
-        return jnp.pad(d, ((0, 0), (_PAD, _PAD)), mode="edge")
+        return jnp.pad(d, ((0, 0), (reach, reach)), mode="edge")
 
-    dspec = pl.BlockSpec((_ROWS, wp + 2 * _PAD), lambda y: (y, 0),
+    dspec = pl.BlockSpec((_ROWS, wp + 2 * reach), lambda y: (y, 0),
                          memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((_ROWS, wp), lambda y: (y, 0),
                          memory_space=pltpu.VMEM)
     out_l, out_r = pl.pallas_call(
         functools.partial(_dcc_kernel, n_tiles=wp // _LANE, rows=_ROWS,
-                          w=w, thresh=float(thresh),
+                          w=w, reach=reach, thresh=float(thresh),
                           with_labels=with_labels),
         grid=(hp // _ROWS,),
         in_specs=[dspec, dspec],

@@ -91,6 +91,125 @@ def _bounds(dmin, dmax, s):
     return int(np.floor(min(c))), int(np.ceil(max(c)))
 
 
+def _warp_views_kernel(dl_ref, dr_ref, lb, lg, lr, rb, rg, rr,
+                       oa0, oa1, oa2, ob0, ob1, ob2,
+                       *, shifts_l, shifts_r, bounds_l, bounds_r, w):
+    """All intermediate views' directional warps in one pass: the sample
+    windows (image values at x + k) are shared across views, so each k of
+    the union offset range builds one new window per channel and every
+    view just selects from it.  Outputs: (nv, R, 128) per (direction,
+    channel)."""
+    s = pl.program_id(1)
+    base = pl.multiple_of(s * _LANE, _LANE)
+
+    def chunks(ref):
+        return [ref[:, pl.ds(base + k * _LANE, _LANE)] for k in range(3)]
+
+    l_ch = [chunks(r_) for r_ in (lb, lg, lr)]
+    r_ch = [chunks(r_) for r_ in (rb, rg, rr)]
+    disp_l = dl_ref[:, pl.ds(base, _LANE)]
+    disp_r = dr_ref[:, pl.ds(base, _LANE)]
+    xg = (jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _LANE), 1)
+          + base).astype(F32)
+
+    for disp, shifts, bounds, ch, outs in (
+            (disp_r, shifts_l, bounds_l, l_ch, (oa0, oa1, oa2)),
+            (disp_l, shifts_r, bounds_r, r_ch, (ob0, ob1, ob2))):
+        nv = len(shifts)
+        k0s, fracs = [], []
+        for sh in shifts:
+            coord = jnp.clip(xg + disp * F32(sh), F32(0.0), F32(w - 1))
+            k0f = jnp.floor(coord)
+            fracs.append(coord - k0f)
+            k0s.append(k0f.astype(jnp.int32) - xg.astype(jnp.int32))
+        lo = min(b[0] for b in bounds)
+        hi = max(b[1] for b in bounds)
+        accs = [[jnp.zeros((_ROWS, _LANE), F32) for _ in range(3)]
+                for _ in range(nv)]
+        v1 = [_window(ch[c], _PAD + lo).astype(F32) for c in range(3)]
+        for k in range(lo, hi + 1):
+            v0 = v1
+            v1 = [_window(ch[c], _PAD + k + 1).astype(F32)
+                  for c in range(3)]
+            for v in range(nv):
+                if k < bounds[v][0] or k > bounds[v][1]:
+                    continue
+                sel = k0s[v] == k
+                f = fracs[v]
+                for c in range(3):
+                    val = v0[c] * (F32(1.0) - f) + v1[c] * f
+                    accs[v][c] = jnp.where(sel, val, accs[v][c])
+        for c in range(3):
+            for v in range(nv):
+                outs[c][v] = jnp.floor(accs[v][c])
+
+
+@functools.partial(jax.jit, static_argnames=("shifts", "num_disp",
+                                             "zero_disp", "interpret"))
+def dibr_warp_views_kern(img_l, img_r, disp_l, disp_r, shifts,
+                         num_disp: int, zero_disp: int,
+                         interpret: bool = False):
+    """All V-2 intermediate views' warp pairs in one kernel call:
+    returns (va, vb) with va[v] = warp of img_l at -shifts[v] with
+    disp_r, vb[v] = warp of img_r at 1-shifts[v] with disp_l -- each
+    (nv, H, W, 3) f32 with integral values, bit-identical to per-view
+    dibr_warp_pair_kern / ops.dibr.dibr_backward_warp."""
+    h, w = disp_l.shape
+    nv = len(shifts)
+    hp = -(-h // _ROWS) * _ROWS
+    wp = -(-w // _LANE) * _LANE
+    dmin, dmax = -zero_disp, num_disp - zero_disp
+    shifts_l = tuple(-float(s) for s in shifts)
+    shifts_r = tuple(1.0 - float(s) for s in shifts)
+    bounds_l = tuple(_bounds(dmin, dmax, s) for s in shifts_l)
+    bounds_r = tuple(_bounds(dmin, dmax, s) for s in shifts_r)
+    reach = max(max(abs(b[0]), abs(b[1]))
+                for b in bounds_l + bounds_r) + 1
+    if reach > _PAD:
+        raise ValueError("disparity reach exceeds one 128-lane chunk")
+
+    def planes(img):
+        out = []
+        for c in range(3):
+            p = img[:, :, c].astype(jnp.int32)
+            p = jnp.pad(p, ((0, hp - h), (0, 0)), mode="edge")
+            p = jnp.pad(p, ((0, 0), (_PAD, _PAD + wp - w)))
+            out.append(p)
+        return out
+
+    def disp_pad(d):
+        d = jnp.pad(d.astype(F32), ((0, hp - h), (0, 0)), mode="edge")
+        return jnp.pad(d, ((0, 0), (0, wp - w)))
+
+    args = ([disp_pad(disp_l), disp_pad(disp_r)]
+            + planes(img_l) + planes(img_r))
+
+    grid = (hp // _ROWS, wp // _LANE)
+    dspec = pl.BlockSpec((_ROWS, wp), lambda y, s_: (y, 0),
+                         memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((_ROWS, wp + 2 * _PAD), lambda y, s_: (y, 0),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((nv, _ROWS, _LANE), lambda y, s_: (0, y, s_),
+                         memory_space=pltpu.VMEM)
+    oshape = jax.ShapeDtypeStruct((nv, hp, wp), jnp.float32)
+
+    outs = pl.pallas_call(
+        functools.partial(_warp_views_kernel, shifts_l=shifts_l,
+                          shifts_r=shifts_r, bounds_l=bounds_l,
+                          bounds_r=bounds_r, w=w),
+        grid=grid,
+        in_specs=[dspec, dspec] + [pspec] * 6,
+        out_specs=(ospec,) * 6,
+        out_shape=(oshape,) * 6,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(*args)
+    va = jnp.stack([o[:, :h, :w] for o in outs[:3]], axis=-1)
+    vb = jnp.stack([o[:, :h, :w] for o in outs[3:]], axis=-1)
+    return va, vb
+
+
 @functools.partial(jax.jit, static_argnames=("shift", "num_disp",
                                              "zero_disp", "interpret"))
 def dibr_warp_pair_kern(img_l, img_r, disp_l, disp_r, shift: float,

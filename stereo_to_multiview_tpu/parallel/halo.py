@@ -155,10 +155,23 @@ def halo_process_frame(mesh: Mesh, cfg: PipelineConfig,
         from stereo_to_multiview_tpu.models.pipeline import _use_band
         band = _use_band(cfg)
         interpret = jax.default_backend() == "cpu"
-        arms_l = ops.cross_arms(ext_l, cfg.ucd, cfg.lcd, usd, cfg.lsd,
-                                row_offset=ext_row0, global_h=cfg.num_rows)
-        arms_r = ops.cross_arms(ext_r, cfg.ucd, cfg.lcd, usd, cfg.lsd,
-                                row_offset=ext_row0, global_h=cfg.num_rows)
+        if band:
+            from stereo_to_multiview_tpu.ops.postkern import cross_arms_kern
+            arms_l = cross_arms_kern(ext_l, cfg.ucd, cfg.lcd, usd, cfg.lsd,
+                                     row_offset=ext_row0,
+                                     global_h=cfg.num_rows,
+                                     interpret=interpret)
+            arms_r = cross_arms_kern(ext_r, cfg.ucd, cfg.lcd, usd, cfg.lsd,
+                                     row_offset=ext_row0,
+                                     global_h=cfg.num_rows,
+                                     interpret=interpret)
+        else:
+            arms_l = ops.cross_arms(ext_l, cfg.ucd, cfg.lcd, usd, cfg.lsd,
+                                    row_offset=ext_row0,
+                                    global_h=cfg.num_rows)
+            arms_r = ops.cross_arms(ext_r, cfg.ucd, cfg.lcd, usd, cfg.lsd,
+                                    row_offset=ext_row0,
+                                    global_h=cfg.num_rows)
         if band:
             # Same Pallas kernels + quantized integer aggregation as the
             # single-device band engine (ops.band.band_stereo_core_chunked)
@@ -182,9 +195,17 @@ def halo_process_frame(mesh: Mesh, cfg: PipelineConfig,
         sl = slice(h_img, h_img + rows_loc)
         disp_l, disp_r = disp_l[sl], disp_r[sl]
 
-        out_l, out_r = ops.dr_dcc(disp_l, disp_r, cfg.dcc_thresh,
-                                  num_disp=cfg.num_disp,
-                                  zero_disp=cfg.zero_disp)
+        if band:
+            from stereo_to_multiview_tpu.ops.postkern import dcc_occl_kern
+            out_l, out_r = dcc_occl_kern(disp_l, disp_r, cfg.dcc_thresh,
+                                         with_labels=True,
+                                         num_disp=cfg.num_disp,
+                                         zero_disp=cfg.zero_disp,
+                                         interpret=interpret)
+        else:
+            out_l, out_r = ops.dr_dcc(disp_l, disp_r, cfg.dcc_thresh,
+                                      num_disp=cfg.num_disp,
+                                      zero_disp=cfg.zero_disp)
 
         # --- IRV: exchange disp/outlier halos every iteration ---
         arms_l_irv = arms_l[:, h_img - usd:h_img + rows_loc + usd]
@@ -213,17 +234,32 @@ def halo_process_frame(mesh: Mesh, cfg: PipelineConfig,
 
         # --- bilateral ---
         rb = cfg.bilateral_radius
-        blf = lambda d: ops.filter_bilateral(
-            d, rb, cfg.bilateral_sigma_color, cfg.bilateral_sigma_spatial,
-            cfg.num_disp)
+        if band and rb <= 8:
+            from stereo_to_multiview_tpu.ops.postkern import (
+                filter_bilateral_kern)
+            blf = lambda d: filter_bilateral_kern(
+                d, rb, cfg.bilateral_sigma_color,
+                cfg.bilateral_sigma_spatial, cfg.num_disp, interpret)
+        else:
+            blf = lambda d: ops.filter_bilateral(
+                d, rb, cfg.bilateral_sigma_color,
+                cfg.bilateral_sigma_spatial, cfg.num_disp)
         disp_l = _halo_filter(blf, disp_l, rb, n_dev, axis)
         disp_r = _halo_filter(blf, disp_r, rb, n_dev, axis)
 
         # --- view synthesis (occl/warps horizontal; bleed+feather need
         # small vertical halos) ---
-        occl_l, occl_r = ops.dibr_occl(disp_l, disp_r,
-                                       num_disp=cfg.num_disp,
-                                       zero_disp=cfg.zero_disp)
+        if band:
+            from stereo_to_multiview_tpu.ops.postkern import dcc_occl_kern
+            occl_l, occl_r = dcc_occl_kern(disp_l, disp_r,
+                                           with_labels=False,
+                                           num_disp=cfg.num_disp,
+                                           zero_disp=cfg.zero_disp,
+                                           interpret=interpret)
+        else:
+            occl_l, occl_r = ops.dibr_occl(disp_l, disp_r,
+                                           num_disp=cfg.num_disp,
+                                           zero_disp=cfg.zero_disp)
         bld = lambda m: ops.filter_bleed(m, cfg.bleed_radius)
         occl_l = _halo_filter(bld, occl_l, cfg.bleed_radius, n_dev, axis,
                               edge="bleed")

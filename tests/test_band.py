@@ -142,7 +142,8 @@ def test_chunked_core_matches_unchunked(stereo_pair):
                 irv_thresh_s=5, irv_thresh_h=0.4, num_views=4,
                 band_nsplit=3)
     cfg_whole = PipelineConfig(engine="band", band_row_chunk=0, **base)
-    cfg_chunk = PipelineConfig(engine="band", band_row_chunk=8, **base)
+    cfg_chunk = PipelineConfig(engine="band", band_row_chunk=8,
+                               irv_row_chunk=8, **base)
     l, r = jnp.asarray(left), jnp.asarray(right)
     arms_l = ops.cross_arms(l, 6.0, 20.0, 5, 2)
     arms_r = ops.cross_arms(r, 6.0, 20.0, 5, 2)
@@ -293,3 +294,25 @@ def test_cross_arms_kern_matches_xla(stereo_pair):
         ref = ops.cross_arms(im, 6.0, 20.0, 9, 4)
         out = cross_arms_kern(im, 6.0, 20.0, 9, 4, interpret=True)
         np.testing.assert_array_equal(_np(ref), _np(out))
+
+
+def test_warp_views_kern_matches_pair(stereo_pair, rng):
+    """Fused all-views warp kernel vs per-view warp: bit-identical."""
+    from stereo_to_multiview_tpu.ops.warpkern import (dibr_warp_pair_kern,
+                                                      dibr_warp_views_kern)
+    left, right = stereo_pair
+    l, r = jnp.asarray(left), jnp.asarray(right)
+    h, w = left.shape[:2]
+    nd, zd = 12, 6
+    disp_l = jnp.asarray(
+        rng.integers(-zd, nd - zd, (h, w)).astype(np.float32))
+    disp_r = jnp.asarray(
+        rng.integers(-zd, nd - zd, (h, w)).astype(np.float32))
+    shifts = (0.75, 0.5, 0.25)
+    va, vb = dibr_warp_views_kern(l, r, disp_l, disp_r, shifts, nd, zd,
+                                  interpret=True)
+    for j, s in enumerate(shifts):
+        ra, rb = dibr_warp_pair_kern(l, r, disp_l, disp_r, s, nd, zd,
+                                     interpret=True)
+        np.testing.assert_array_equal(_np(ra), _np(va[j]))
+        np.testing.assert_array_equal(_np(rb), _np(vb[j]))
