@@ -53,11 +53,14 @@ def _window(chunks, lo: int):
 
 
 def _cost_kernel(lb, lg, lr, rb, rg, rr, clw0, clw1, crw0, crw1,
-                 out_l, out_r, scratch_l, scratch_r,
+                 out_l, out_r,
                  *, num_disp: int, zero_disp: int,
                  inv_ad: float, inv_cen: float, quant: bool):
-    """One (8-row, 128-column) step.  Plane refs are (8, W + 256) i32,
-    row-block resident; out refs are (8, 128, D) f32."""
+    """One (16-row, 128-column) step.  Plane refs are (16, W + 256) i32,
+    row-block resident; out refs are (D, 16, 128) -- disparity-major, so
+    each per-d cost row stores with a leading index (the round-1 design's
+    32 in-kernel (128, 128) transposes per step dominated the kernel; the
+    (H, W, D) relayout now happens once in XLA, bandwidth-bound)."""
     s = pl.program_id(1)
     base = pl.multiple_of(s * _LANE, _LANE)
 
@@ -89,7 +92,7 @@ def _cost_kernel(lb, lg, lr, rb, rg, rr, clw0, clw1, crw0, crw1,
                 + (F32(1.0) - jnp.exp(-ham.astype(F32) * inv_cen)))
         if quant:
             cost = jnp.rint(cost * F32(_QSCALE))
-        scratch_l[d] = cost
+        out_l[d] = cost.astype(out_l.dtype)
 
         # right eye: other-eye (L) window at x - (d - zero_disp)
         off_r = _PAD - (d - zero_disp)
@@ -102,12 +105,7 @@ def _cost_kernel(lb, lg, lr, rb, rg, rr, clw0, clw1, crw0, crw1,
                 + (F32(1.0) - jnp.exp(-ham.astype(F32) * inv_cen)))
         if quant:
             cost = jnp.rint(cost * F32(_QSCALE))
-        scratch_r[d] = cost
-
-    # (D, 8, 128x) scratch -> (8, 128x, D) output: 8 transposes per eye
-    for r in range(_ROWS):
-        out_l[r] = scratch_l[:, r, :].T.astype(out_l.dtype)
-        out_r[r] = scratch_r[:, r, :].T.astype(out_r.dtype)
+        out_r[d] = cost.astype(out_r.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_disp", "zero_disp",
@@ -159,8 +157,8 @@ def ci_adcensus_kern(img_l: jnp.ndarray, img_r: jnp.ndarray,
     plane_spec = pl.BlockSpec((_ROWS, w + 2 * _PAD + (wp - w)),
                               lambda y, s: (y, 0),
                               memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((_ROWS, _LANE, num_disp),
-                            lambda y, s: (y, s, 0),
+    out_spec = pl.BlockSpec((num_disp, _ROWS, _LANE),
+                            lambda y, s: (0, y, s),
                             memory_space=pltpu.VMEM)
 
     out_dt = jnp.bfloat16 if quant else jnp.float32
@@ -172,12 +170,13 @@ def ci_adcensus_kern(img_l: jnp.ndarray, img_r: jnp.ndarray,
         grid=grid,
         in_specs=[plane_spec] * 10,
         out_specs=(out_spec, out_spec),
-        out_shape=(jax.ShapeDtypeStruct((hp, wp, num_disp), out_dt),
-                   jax.ShapeDtypeStruct((hp, wp, num_disp), out_dt)),
-        scratch_shapes=[pltpu.VMEM((num_disp, _ROWS, _LANE), jnp.float32),
-                        pltpu.VMEM((num_disp, _ROWS, _LANE), jnp.float32)],
+        out_shape=(jax.ShapeDtypeStruct((num_disp, hp, wp), out_dt),
+                   jax.ShapeDtypeStruct((num_disp, hp, wp), out_dt)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(*args)
-    return out_l[:h, :w], out_r[:h, :w]
+    # one bandwidth-bound XLA relayout to the (H, W, D) layout the
+    # banded-MXU aggregation consumes
+    return (jnp.moveaxis(out_l, 0, 2)[:h, :w],
+            jnp.moveaxis(out_r, 0, 2)[:h, :w])

@@ -42,6 +42,7 @@ F32 = jnp.float32
 BF16 = jnp.bfloat16
 _LANE = 128
 _ROWS = 32    # rowspan image rows per grid step
+_XTILE = 256  # rowspan output columns per grid step (fewer, fatter units)
 _VROWS = 8    # vote W-rows per grid step
 _PAD = 128    # x padding of the disparity rows (row-pass window reach)
 _HPAD = 64    # H padding of the row-span volume (vote window reach)
@@ -49,35 +50,36 @@ _HPAD = 64    # H padding of the row-span volume (vote window reach)
 
 def _rowspan_kernel(disp_ref, outl_ref, al_ref, ar_ref, out_ref,
                     *, num_disp: int, zero_disp: int):
-    """One (32-row, 128-column) step: out (128x, 32row, B) bf16 row spans.
+    """One (32-row, 256-column) step: out (256x, 32row, B) bf16 row spans.
 
     (No per-block skip here: Mosaic cannot lower the middle-index 3D
     store's vector reshape inside a pl.when region -- "unsupported shape
     cast" -- so only the vote kernel, whose stores are 2D, skips blocks.)
     """
     s = pl.program_id(1)
-    base = pl.multiple_of(s * _LANE, _LANE)
-    # vote windows reach at most +-usd <= 64, so only the 256 columns
-    # [x0-64, x0+192) of the 384 chunk span feed the contraction
-    d_win = disp_ref[:, pl.ds(base, 3 * _LANE)]        # (R, 384)
-    o_win = outl_ref[:, pl.ds(base, 3 * _LANE)]
+    base = pl.multiple_of(s * _XTILE, _LANE)
+    # vote windows reach at most +-usd <= 64, so only the columns
+    # [x0-64, x0+_XTILE+64) of the padded span feed the contraction
+    win = _XTILE + _LANE
+    d_win = disp_ref[:, pl.ds(base, win + _LANE)]      # (R, win+128)
+    o_win = outl_ref[:, pl.ds(base, win + _LANE)]
     # output-pixel arms, sublane-oriented
-    an_t = al_ref[:, pl.ds(base + _PAD, _LANE)].T      # (128x, R)
-    ap_t = ar_ref[:, pl.ds(base + _PAD, _LANE)].T
+    an_t = al_ref[:, pl.ds(base + _PAD, _XTILE)].T     # (Xx, R)
+    ap_t = ar_ref[:, pl.ds(base + _PAD, _XTILE)].T
     half = _LANE // 2
-    d_t = d_win.T[half:half + 2 * _LANE]               # (256i, R)
-    o_t = o_win.T[half:half + 2 * _LANE]
+    d_t = d_win.T[half:half + win]                     # (win_i, R)
+    o_t = o_win.T[half:half + win]
 
-    o = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 2 * _LANE), 0)
-    i = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 2 * _LANE), 1)
+    o = jax.lax.broadcasted_iota(jnp.int32, (_XTILE, win), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (_XTILE, win), 1)
     r_off = i - half - o
-    b_iota = jax.lax.broadcasted_iota(jnp.int32, (2 * _LANE, num_disp), 1)
+    b_iota = jax.lax.broadcasted_iota(jnp.int32, (win, num_disp), 1)
 
     for r in range(_ROWS):
         an = an_t[:, r:r + 1]
         ap = ap_t[:, r:r + 1]
-        band = ((r_off >= -an) & (r_off <= ap)).astype(BF16)  # (x, 256)
-        dint = d_t[:, r:r + 1].astype(jnp.int32)              # (256i, 1)
+        band = ((r_off >= -an) & (r_off <= ap)).astype(BF16)  # (X, win)
+        dint = d_t[:, r:r + 1].astype(jnp.int32)              # (win_i, 1)
         reli = o_t[:, r:r + 1] == 0
         onehot = (reli & (dint + zero_disp == b_iota)).astype(BF16)
         y_dot = jnp.dot(band, onehot, preferred_element_type=F32)
@@ -153,7 +155,7 @@ def irv_round_kern(disp: jnp.ndarray, outliers: jnp.ndarray,
     num_bins = max(num_disp, _LANE)
     h, w = disp.shape
     hp = -(-h // _LANE) * _LANE        # H padded for I2's 128-chunks
-    wp = -(-w // _LANE) * _LANE
+    wp = -(-w // _XTILE) * _XTILE      # W padded for I1's 256-tiles
 
     def pad_hw(x, fill):
         return jnp.pad(x, ((0, hp - h), (0, wp - w)), constant_values=fill)
@@ -169,7 +171,7 @@ def irv_round_kern(disp: jnp.ndarray, outliers: jnp.ndarray,
     # non-outliers: their votes are discarded, so blocks they alone touch
     # can skip) ---
     need = jnp.pad(outliers != 0, ((0, hp - h), (0, wp - w)))
-    n_yb, n_xt = hp // _ROWS, wp // _LANE
+    n_yb, n_xt = hp // _ROWS, wp // _XTILE
     n_xb, n_hseg = wp // _VROWS, hp // _LANE
     m2 = need.reshape(n_hseg, _LANE, n_xb, _VROWS).any(axis=(1, 3)).T
     vflags = m2.astype(jnp.int32).reshape(-1)
@@ -188,7 +190,7 @@ def irv_round_kern(disp: jnp.ndarray, outliers: jnp.ndarray,
                           zero_disp=zero_disp),
         grid=(n_yb, n_xt),
         in_specs=[row_spec] * 4,
-        out_specs=pl.BlockSpec((_LANE, _ROWS, num_bins),
+        out_specs=pl.BlockSpec((_XTILE, _ROWS, num_bins),
                                lambda y, s: (s, y + hoff, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((wp, hp + 2 * _HPAD, num_bins),
