@@ -52,17 +52,26 @@ def _window(chunks, lo: int):
     return jnp.where(lane < _LANE - r, rolled_a, rolled_b)
 
 
-def _cost_kernel(lb, lg, lr, rb, rg, rr, clw0, clw1, crw0, crw1,
-                 out_l, out_r,
-                 *, num_disp: int, zero_disp: int,
-                 inv_ad: float, inv_cen: float, quant: bool):
+def _cost_kernel(*refs, num_disp: int, zero_disp: int,
+                 inv_ad: float, inv_cen: float, quant: bool,
+                 eyes: str = "lr", tile: int | None = None):
     """One (16-row, 128-column) step.  Plane refs are (16, W + 256) i32,
     row-block resident; out refs are (D, 16, 128) -- disparity-major, so
     each per-d cost row stores with a leading index (the round-1 design's
     32 in-kernel (128, 128) transposes per step dominated the kernel; the
-    (H, W, D) relayout now happens once in XLA, bandwidth-bound)."""
-    s = pl.program_id(1)
-    base = pl.multiple_of(s * _LANE, _LANE)
+    (H, W, D) relayout now happens once in XLA, bandwidth-bound).
+
+    eyes selects which cost volumes this instance emits ("lr", "l", "r");
+    the out refs follow the inputs in that order.  `tile` pins the column
+    tile statically (border-strip calls with a 1-wide grid) instead of
+    reading pl.program_id(1)."""
+    lb, lg, lr, rb, rg, rr, clw0, clw1, crw0, crw1 = refs[:10]
+    outs = refs[10:]
+    if tile is None:
+        s = pl.program_id(1)
+        base = pl.multiple_of(s * _LANE, _LANE)
+    else:
+        base = tile * _LANE
 
     def chunks(ref):
         return [ref[:, pl.ds(base + k * _LANE, _LANE)] for k in range(3)]
@@ -79,33 +88,28 @@ def _cost_kernel(lb, lg, lr, rb, rg, rr, clw0, clw1, crw0, crw1,
     cr_own = [c[1] for c in cr_ch]
 
     third = F32(0.33333333333)
-    for d in range(num_disp):
-        # left eye: other-eye (R) window at x + (d - zero_disp);
-        # padded-plane lane offset = 128 + (d - zero_disp)
-        off_l = _PAD + d - zero_disp
-        ad = jnp.zeros((_ROWS, _LANE), jnp.int32)
-        for c in range(3):
-            ad = ad + jnp.abs(l_own[c] - _window(r_ch[c], off_l))
-        ham = (_popcount(cl_own[0] ^ _window(cr_ch[0], off_l))
-               + _popcount(cl_own[1] ^ _window(cr_ch[1], off_l)))
-        cost = ((F32(1.0) - jnp.exp(-(ad.astype(F32) * third) * inv_ad))
-                + (F32(1.0) - jnp.exp(-ham.astype(F32) * inv_cen)))
-        if quant:
-            cost = jnp.rint(cost * F32(_QSCALE))
-        out_l[d] = cost.astype(out_l.dtype)
 
-        # right eye: other-eye (L) window at x - (d - zero_disp)
-        off_r = _PAD - (d - zero_disp)
+    def emit(own, own_cen, other_ch, other_cen_ch, off, out):
         ad = jnp.zeros((_ROWS, _LANE), jnp.int32)
         for c in range(3):
-            ad = ad + jnp.abs(r_own[c] - _window(l_ch[c], off_r))
-        ham = (_popcount(cr_own[0] ^ _window(cl_ch[0], off_r))
-               + _popcount(cr_own[1] ^ _window(cl_ch[1], off_r)))
+            ad = ad + jnp.abs(own[c] - _window(other_ch[c], off))
+        ham = (_popcount(own_cen[0] ^ _window(other_cen_ch[0], off))
+               + _popcount(own_cen[1] ^ _window(other_cen_ch[1], off)))
         cost = ((F32(1.0) - jnp.exp(-(ad.astype(F32) * third) * inv_ad))
                 + (F32(1.0) - jnp.exp(-ham.astype(F32) * inv_cen)))
         if quant:
             cost = jnp.rint(cost * F32(_QSCALE))
-        out_r[d] = cost.astype(out_r.dtype)
+        out[d] = cost.astype(out.dtype)
+
+    for d in range(num_disp):
+        if "l" in eyes:
+            # left eye: other-eye (R) window at x + (d - zero_disp);
+            # padded-plane lane offset = 128 + (d - zero_disp)
+            emit(l_own, cl_own, r_ch, cr_ch, _PAD + d - zero_disp, outs[0])
+        if "r" in eyes:
+            # right eye: other-eye (L) window at x - (d - zero_disp)
+            emit(r_own, cr_own, l_ch, cl_ch, _PAD - (d - zero_disp),
+                 outs[-1])
 
 
 @functools.partial(jax.jit, static_argnames=("num_disp", "zero_disp",
@@ -162,20 +166,80 @@ def ci_adcensus_kern(img_l: jnp.ndarray, img_r: jnp.ndarray,
                             memory_space=pltpu.VMEM)
 
     out_dt = jnp.bfloat16 if quant else jnp.float32
-    out_l, out_r = pl.pallas_call(
-        functools.partial(_cost_kernel, num_disp=num_disp,
-                          zero_disp=zero_disp,
-                          inv_ad=float(1.0 / ad_coeff),
-                          inv_cen=float(1.0 / census_coeff), quant=quant),
+    kern = functools.partial(_cost_kernel, num_disp=num_disp,
+                             zero_disp=zero_disp,
+                             inv_ad=float(1.0 / ad_coeff),
+                             inv_cen=float(1.0 / census_coeff), quant=quant)
+
+    # cost_r(x, d) = cost_l(x - (d - zd), d) wherever x - (d - zd) lands
+    # inside the image (same |L - R| pair, same census XOR; the exp
+    # arithmetic is identical) -- so the main kernel computes the LEFT eye
+    # only (halving its window/popcount/exp work) and the right volume is
+    # assembled from per-d shifted slices of the left one, with the <=
+    # 64-column border strips (where x - (d - zd) would clamp) recomputed
+    # exactly by 128-column-tile kernel calls.  d_ci_ad.cu:133-144 is the
+    # symmetry being exploited.
+    shift_extract = (w >= 3 * _LANE
+                     and max(zero_disp, num_disp - zero_disp) <= _LANE // 2)
+
+    if not shift_extract:
+        out_l, out_r = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[plane_spec] * 10,
+            out_specs=(out_spec, out_spec),
+            out_shape=(jax.ShapeDtypeStruct((num_disp, hp, wp), out_dt),
+                       jax.ShapeDtypeStruct((num_disp, hp, wp), out_dt)),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")),
+            interpret=interpret,
+        )(*args)
+        return (jnp.moveaxis(out_l, 0, 2)[:h, :w],
+                jnp.moveaxis(out_r, 0, 2)[:h, :w])
+
+    out_l = pl.pallas_call(
+        functools.partial(kern, eyes="l"),
         grid=grid,
         in_specs=[plane_spec] * 10,
-        out_specs=(out_spec, out_spec),
-        out_shape=(jax.ShapeDtypeStruct((num_disp, hp, wp), out_dt),
-                   jax.ShapeDtypeStruct((num_disp, hp, wp), out_dt)),
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((num_disp, hp, wp), out_dt),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(*args)
+
+    # right eye via shifted slices of the left volume (disparity-major, so
+    # each d-plane is one static lane slice of a 64-lane-padded buffer)
+    half = _LANE // 2
+    padded = jnp.pad(out_l, ((0, 0), (0, 0), (half, half)))
+    out_r = jnp.stack([
+        jax.lax.slice_in_dim(padded[d], half - (d - zero_disp),
+                             half - (d - zero_disp) + wp, axis=1)
+        for d in range(num_disp)])
+
+    # exact border strips: leftmost tile plus the tile(s) covering
+    # [w - 64, w) (where the shifted read would leave the image)
+    border = sorted({0, *range((w - half) // _LANE, (w - 1) // _LANE + 1)})
+    strip_spec = pl.BlockSpec((num_disp, _ROWS, _LANE),
+                              lambda y: (0, y, 0),
+                              memory_space=pltpu.VMEM)
+    plane_spec1 = pl.BlockSpec((_ROWS, w + 2 * _PAD + (wp - w)),
+                               lambda y: (y, 0),
+                               memory_space=pltpu.VMEM)
+    for t in border:
+        strip = pl.pallas_call(
+            functools.partial(kern, eyes="r", tile=t),
+            grid=(hp // _ROWS,),
+            in_specs=[plane_spec1] * 10,
+            out_specs=strip_spec,
+            out_shape=jax.ShapeDtypeStruct((num_disp, hp, _LANE), out_dt),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+            interpret=interpret,
+        )(*args)
+        out_r = jax.lax.dynamic_update_slice(
+            out_r, strip, (0, 0, t * _LANE))
+
     # one bandwidth-bound XLA relayout to the (H, W, D) layout the
     # banded-MXU aggregation consumes
     return (jnp.moveaxis(out_l, 0, 2)[:h, :w],

@@ -128,6 +128,27 @@ def test_ci_adcensus_hwd_matches_dhw(stereo_pair):
     np.testing.assert_array_equal(_np(jnp.moveaxis(b, 0, 2)), _np(b2))
 
 
+def test_ci_adcensus_kern_shift_extracted_right_eye(rng):
+    """Widths >= 384 trigger the cost_r-from-cost_l shift extraction (the
+    main kernel emits only the left eye; cost_r(x, d) = cost_l(x-(d-zd), d)
+    via per-d slices, with <= 64-column border strips recomputed by pinned-
+    tile kernel calls).  Must stay bit-identical to the direct two-eye
+    formulation, including at a width that straddles two right-border
+    tiles (w = 385) and at the full D=128/zd=64 reach."""
+    from stereo_to_multiview_tpu.ops.costkern import ci_adcensus_kern
+    from stereo_to_multiview_tpu.ops.cost import ci_adcensus_hwd
+    for h, w, nd, zd in ((16, 448, 24, 12), (8, 385, 128, 64)):
+        l = jnp.asarray(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+        r = jnp.asarray(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+        a, b = ci_adcensus_kern(l, r, 10.0, 30.0, nd, zd, quant=True,
+                                interpret=True)
+        ra, rb = ci_adcensus_hwd(l, r, 10.0, 30.0, nd, zd)
+        np.testing.assert_array_equal(
+            _np(a), _np(jnp.rint(ra * 127).astype(jnp.bfloat16)))
+        np.testing.assert_array_equal(
+            _np(b), _np(jnp.rint(rb * 127).astype(jnp.bfloat16)))
+
+
 def test_chunked_core_matches_unchunked(stereo_pair):
     """Row-chunked stereo core vs whole-frame: bit-exact.  The quantized
     aggregation is exact integer arithmetic, so the V-pass tile origin
