@@ -104,6 +104,33 @@ def main():
         timed("stereo_core_chunked", lambda l, r, al, ar:
               B.band_stereo_core_chunked(l, r, al, ar, cfg, interp),
               img_l, img_r, arms_l, arms_r)
+    if W("cost"):
+        from stereo_to_multiview_tpu.ops.costkern import ci_adcensus_kern
+        timed("ci_adcensus_kern", lambda l, r: ci_adcensus_kern(
+            l, r, cfg.ad_coeff, cfg.census_coeff, cfg.num_disp,
+            cfg.zero_disp, quant=True, interpret=interp), img_l, img_r)
+    if W("aggsweep"):
+        # aggregation tile-shape sweep: cost init is recomputed inside each
+        # timed graph (holding batched cost volumes would blow HBM at
+        # 1080p); subtract the "cost" stage time to compare shapes
+        from stereo_to_multiview_tpu.ops.costkern import ci_adcensus_kern
+
+        def agg(l, r, al, ar, rows, otile):
+            cl, cr = ci_adcensus_kern(
+                l, r, cfg.ad_coeff, cfg.census_coeff, cfg.num_disp,
+                cfg.zero_disp, quant=True, interpret=interp)
+            cost = jnp.concatenate([cl, cr], axis=0)
+            arms = jnp.concatenate([al, ar], axis=1)
+            return B.band_aggregate_q(cost, arms, cfg.usd,
+                                      zero_disp=cfg.zero_disp,
+                                      interpret=interp, rows=rows,
+                                      otile=otile)
+        for rows, otile in ((8, 256), (8, 512), (16, 256), (16, 512),
+                            (8, 1024)):
+            timed(f"cost+agg r{rows} t{otile}",
+                  lambda l, r, al, ar, rw=rows, ot=otile:
+                  agg(l, r, al, ar, rw, ot),
+                  img_l, img_r, arms_l, arms_r)
     if W("dcc"):
         from stereo_to_multiview_tpu.ops.postkern import dcc_occl_kern
         timed("dcc_occl_kern", lambda a, b: dcc_occl_kern(

@@ -100,34 +100,41 @@ def _terms(x, mode: str, terms: int):
 
 def _res_kernel(an_ref, ap_ref, vol_ref, out_ref, *, inclusive: bool,
                 mode: str, terms: int, rescale: int, wta: bool,
-                zero_disp: int, n_tiles: int, rows: int, otile: int):
+                zero_disp: int, tiles: tuple, rows: int):
     """One `rows`-row grid step over the whole padded width.
 
     an/ap: (rows, WP) i32 arms in natural layout.
     vol: (rows, WP + 128, D) volume with a 64-column zero halo each side.
     out: (rows, WP, D) sums, or (rows, WP) f32 disparities when `wta`.
-    otile: output-tile width (multiple of 128; wider tiles halve the
-    per-unit instruction stream, the measured bottleneck -- the kernel is
-    issue-bound, not MXU- or DMA-bound, at 128).
+    tiles: static ((a0, width), ...) output tiles covering [0, WP); widths
+    are 128-multiples.  Wider tiles halve the per-unit instruction stream
+    (the measured bottleneck -- the kernel is issue-bound, not MXU- or
+    DMA-bound, at 128), while a truncated last tile keeps the padding at
+    the 128 grain instead of the tile grain.
     """
-    o = jax.lax.broadcasted_iota(jnp.int32, (otile, otile + 2 * _HALO), 0)
-    i = jax.lax.broadcasted_iota(jnp.int32, (otile, otile + 2 * _HALO), 1)
-    roff = i - _HALO - o            # offset of window pos i from output o
+    roffs = {}
+    for _, width in tiles:
+        if width not in roffs:
+            o = jax.lax.broadcasted_iota(
+                jnp.int32, (width, width + 2 * _HALO), 0)
+            i = jax.lax.broadcasted_iota(
+                jnp.int32, (width, width + 2 * _HALO), 1)
+            roffs[width] = i - _HALO - o   # offset of window pos i from o
 
     an_all = an_ref[:].T            # (WP, rows): one small relayout/step
     ap_all = ap_ref[:].T
 
-    for t in range(n_tiles):
-        a0 = t * otile
+    for a0, width in tiles:
+        roff = roffs[width]
         for r in range(rows):
-            an = an_all[a0:a0 + otile, r:r + 1]      # (otile, 1)
-            ap = ap_all[a0:a0 + otile, r:r + 1]
+            an = an_all[a0:a0 + width, r:r + 1]      # (width, 1)
+            ap = ap_all[a0:a0 + width, r:r + 1]
             if inclusive:
                 band = (roff >= -an) & (roff <= ap)
             else:
                 band = (roff >= -an) & (roff < ap)
             a = band.astype(BF16)                    # exact 0/1
-            x = vol_ref[r, a0:a0 + otile + 2 * _HALO, :]   # (win, D)
+            x = vol_ref[r, a0:a0 + width + 2 * _HALO, :]   # (win, D)
             y = None
             for part, scale in _terms(x, mode, terms):
                 dot = jnp.dot(a, part, preferred_element_type=F32)
@@ -138,9 +145,9 @@ def _res_kernel(an_ref, ap_ref, vol_ref, out_ref, *, inclusive: bool,
                 y = jnp.floor(y * F32(2.0 ** -rescale) + F32(0.5))
             if wta:
                 am = jnp.argmin(y, axis=1).astype(jnp.int32)
-                out_ref[r, a0:a0 + otile] = (am - zero_disp).astype(F32)
+                out_ref[r, a0:a0 + width] = (am - zero_disp).astype(F32)
             else:
-                out_ref[r, a0:a0 + otile, :] = y.astype(out_ref.dtype)
+                out_ref[r, a0:a0 + width, :] = y.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -157,8 +164,15 @@ def _band_pass_h(vol: jnp.ndarray, arm_neg: jnp.ndarray,
     (the quantized pipeline's rescales guarantee it) and halves the HBM
     traffic of the intermediate volumes."""
     h, w, d = vol.shape
-    wp = -(-w // otile) * otile
+    wp = -(-w // _LANE) * _LANE
     hp = -(-h // rows) * rows
+    # static output tiles: `otile`-wide plus a 128-grain remainder
+    tiles = []
+    a0 = 0
+    while a0 < wp:
+        tiles.append((a0, min(otile, wp - a0)))
+        a0 += otile
+    tiles = tuple(tiles)
 
     vol = jnp.pad(vol, ((0, hp - h), (_HALO, _HALO + wp - w), (0, 0)))
     zpad = ((0, hp - h), (0, wp - w))
@@ -181,12 +195,124 @@ def _band_pass_h(vol: jnp.ndarray, arm_neg: jnp.ndarray,
     out = pl.pallas_call(
         functools.partial(_res_kernel, inclusive=inclusive, mode=mode,
                           terms=terms, rescale=rescale, wta=wta,
-                          zero_disp=zero_disp, n_tiles=wp // otile,
-                          rows=rows, otile=otile),
+                          zero_disp=zero_disp, tiles=tiles, rows=rows),
         grid=(hp // rows,),
         in_specs=[arm_spec, arm_spec, vol_spec],
         out_specs=out_spec,
         out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(an_n, ap_n, vol)
+    return out[:h, :w]
+
+
+def _vv_kernel(an_ref, ap_ref, vol_ref, out_ref, lo_ref, hi_ref, *,
+               s2: int, s3: int, tiles: tuple, rows: int, halo_lo: int,
+               halo_hi: int):
+    """Fused passes 2+3 (the two V-passes share one window axis and one
+    arm pair): pass-2 sums from the int16 volume, rescale by 2^-s2, split
+    into base-256 bf16 digits held in VMEM scratch, pass-3 sums from the
+    digits, rescale by 2^-s3, store int16.  Saves the intermediate
+    volume's HBM round trip and one kernel launch per aggregation.
+
+    lo/hi scratch: (rows, WP + 2*_HALO, D).  halo_lo/halo_hi are the
+    scratch's zero-strip widths ([_HALO] + any width padding)."""
+    roffs = {}
+    for _, width in tiles:
+        if width not in roffs:
+            o = jax.lax.broadcasted_iota(
+                jnp.int32, (width, width + 2 * _HALO), 0)
+            i = jax.lax.broadcasted_iota(
+                jnp.int32, (width, width + 2 * _HALO), 1)
+            roffs[width] = i - _HALO - o
+
+    an_all = an_ref[:].T
+    ap_all = ap_ref[:].T
+
+    # zero the scratch halo strips (window reach beyond the output span)
+    d = lo_ref.shape[-1]
+    z_lo = jnp.zeros((rows, halo_lo, d), BF16)
+    z_hi = jnp.zeros((rows, halo_hi, d), BF16)
+    for ref in (lo_ref, hi_ref):
+        ref[:, :halo_lo, :] = z_lo
+        ref[:, ref.shape[1] - halo_hi:, :] = z_hi
+
+    for a0, width in tiles:          # pass 2 -> scratch digits
+        roff = roffs[width]
+        for r in range(rows):
+            an = an_all[a0:a0 + width, r:r + 1]
+            ap = ap_all[a0:a0 + width, r:r + 1]
+            band = ((roff >= -an) & (roff < ap)).astype(BF16)
+            x = vol_ref[r, a0:a0 + width + 2 * _HALO, :]
+            y = None
+            for part, scale in _terms(x, "int", 2):
+                dot = jnp.dot(band, part, preferred_element_type=F32)
+                if scale is not None:
+                    dot = dot * scale
+                y = dot if y is None else y + dot
+            y = jnp.floor(y * F32(2.0 ** -s2) + F32(0.5))
+            hi = jnp.floor(y * F32(1.0 / 256.0))
+            lo = y - hi * F32(256.0)
+            lo_ref[r, _HALO + a0:_HALO + a0 + width, :] = lo.astype(BF16)
+            hi_ref[r, _HALO + a0:_HALO + a0 + width, :] = hi.astype(BF16)
+
+    for a0, width in tiles:          # pass 3 <- scratch digits
+        roff = roffs[width]
+        for r in range(rows):
+            an = an_all[a0:a0 + width, r:r + 1]
+            ap = ap_all[a0:a0 + width, r:r + 1]
+            band = ((roff >= -an) & (roff < ap)).astype(BF16)
+            lo = lo_ref[r, a0:a0 + width + 2 * _HALO, :]
+            hi = hi_ref[r, a0:a0 + width + 2 * _HALO, :]
+            y = (jnp.dot(band, lo, preferred_element_type=F32)
+                 + jnp.dot(band, hi, preferred_element_type=F32)
+                 * F32(256.0))
+            y = jnp.floor(y * F32(2.0 ** -s3) + F32(0.5))
+            out_ref[r, a0:a0 + width, :] = y.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("s2", "s3", "rows", "otile",
+                                             "interpret"))
+def _band_pass_vv(vol: jnp.ndarray, arm_neg: jnp.ndarray,
+                  arm_pos: jnp.ndarray, *, s2: int, s3: int,
+                  rows: int = _ROWS, otile: int = 2 * _LANE,
+                  interpret: bool = False) -> jnp.ndarray:
+    """Both V-passes of the quantized aggregation in one kernel (see
+    _vv_kernel).  Bit-identical to two _band_pass_h(mode='int', terms=2)
+    calls with rescales s2 then s3."""
+    h, w, d = vol.shape
+    wp = -(-w // _LANE) * _LANE
+    hp = -(-h // rows) * rows
+    tiles = []
+    a0 = 0
+    while a0 < wp:
+        tiles.append((a0, min(otile, wp - a0)))
+        a0 += otile
+    tiles = tuple(tiles)
+
+    vol = jnp.pad(vol, ((0, hp - h), (_HALO, _HALO + wp - w), (0, 0)))
+    zpad = ((0, hp - h), (0, wp - w))
+    an_n = jnp.pad(arm_neg.astype(jnp.int32), zpad)
+    ap_n = jnp.pad(arm_pos.astype(jnp.int32), zpad)
+
+    arm_spec = pl.BlockSpec((rows, wp), lambda y: (y, 0),
+                            memory_space=pltpu.VMEM)
+    vol_spec = pl.BlockSpec((rows, wp + 2 * _HALO, d), lambda y: (y, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((rows, wp, d), lambda y: (y, 0, 0),
+                            memory_space=pltpu.VMEM)
+    scratch = pltpu.VMEM((rows, wp + 2 * _HALO, d), BF16)
+
+    out = pl.pallas_call(
+        functools.partial(_vv_kernel, s2=s2, s3=s3, tiles=tiles, rows=rows,
+                          halo_lo=_HALO, halo_hi=_HALO + (wp - w)),
+        grid=(hp // rows,),
+        in_specs=[arm_spec, arm_spec, vol_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((hp, wp, d), jnp.int16),
+        scratch_shapes=[scratch, scratch],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=_VMEM_LIMIT),
@@ -248,7 +374,8 @@ def agg_rescale_shifts(max_arm: int):
 
 def band_aggregate_q(cost_q: jnp.ndarray, arms: jnp.ndarray, max_arm: int,
                      zero_disp: int | None = None,
-                     interpret: bool = False) -> jnp.ndarray:
+                     interpret: bool = False, rows: int = _ROWS,
+                     otile: int = 2 * _LANE) -> jnp.ndarray:
     """Four-pass cross aggregation (live order H,V,V,H, d_ca_cross.cu:
     255-271) on a quantized (H, W, D) volume of integers <= 254 (see
     quantize_cost), with exact integer arithmetic throughout; `max_arm`
@@ -267,19 +394,18 @@ def band_aggregate_q(cost_q: jnp.ndarray, arms: jnp.ndarray, max_arm: int,
     # intermediate volumes are int16: pass-1 output <= 254*129 = 32766 and
     # the rescales keep passes 2/3 below 2^15 -- half the HBM bytes of f32
     i16 = jnp.int16
+    kw = dict(rows=rows, otile=otile, interpret=interpret)
     a = _band_pass_h(cost_q, arms[LEFT], arms[RIGHT], mode="int", terms=1,
-                     out_dtype=i16, interpret=interpret)
+                     out_dtype=i16, **kw)
     at = jnp.swapaxes(a, 0, 1)
-    at = _band_pass_h(at, arms[UP].T, arms[DOWN].T, mode="int", terms=2,
-                      rescale=s2, out_dtype=i16, interpret=interpret)
-    at = _band_pass_h(at, arms[UP].T, arms[DOWN].T, mode="int", terms=2,
-                      rescale=s3, out_dtype=i16, interpret=interpret)
+    at = _band_pass_vv(at, arms[UP].T, arms[DOWN].T, s2=s2, s3=s3,
+                       rows=rows, otile=otile, interpret=interpret)
     a = jnp.swapaxes(at, 0, 1)
     if zero_disp is None:
         return _band_pass_h(a, arms[LEFT], arms[RIGHT], mode="int", terms=2,
-                            interpret=interpret)
+                            **kw)
     return _band_pass_h(a, arms[LEFT], arms[RIGHT], mode="int", terms=2,
-                        wta=True, zero_disp=zero_disp, interpret=interpret)
+                        wta=True, zero_disp=zero_disp, **kw)
 
 
 def cross_aggregate_band(cost_hwd: jnp.ndarray, arms: jnp.ndarray,

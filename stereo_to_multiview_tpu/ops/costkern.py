@@ -112,6 +112,43 @@ def _cost_kernel(*refs, num_disp: int, zero_disp: int,
                  outs[-1])
 
 
+def _shear_kernel(in_ref, out_ref, *, num_disp: int, zero_disp: int):
+    """out[d, :, x] = in[d, :, 64 + x - (d - zd)] -- one static lane roll
+    plus an aligned slice per d-plane (no wraparound: the +-64 pad bounds
+    every read)."""
+    wpp = in_ref.shape[-1]
+    for d in range(num_disp):
+        s = d - zero_disp
+        # roll in f32: Mosaic's rotate only handles 32-bit element types
+        rolled = pltpu.roll(in_ref[d].astype(F32),
+                            (s - _LANE // 2) % wpp, axis=1)
+        out_ref[d] = rolled[:, :out_ref.shape[-1]].astype(out_ref.dtype)
+
+
+def _shear_right(out_l: jnp.ndarray, zero_disp: int,
+                 interpret: bool) -> jnp.ndarray:
+    """(D, HP, WP) left cost volume -> right volume interior via the per-d
+    shear (see ci_adcensus_kern; border strips are overwritten after)."""
+    num_disp, hp, wp = out_l.shape
+    half = _LANE // 2
+    padded = jnp.pad(out_l, ((0, 0), (0, 0), (half, half)))
+    rows = 8
+    return pl.pallas_call(
+        functools.partial(_shear_kernel, num_disp=num_disp,
+                          zero_disp=zero_disp),
+        grid=(hp // rows,),
+        in_specs=[pl.BlockSpec((num_disp, rows, wp + _LANE),
+                               lambda y: (0, y, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((num_disp, rows, wp), lambda y: (0, y, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_disp, hp, wp), out_l.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(padded)
+
+
 @functools.partial(jax.jit, static_argnames=("num_disp", "zero_disp",
                                              "ad_coeff", "census_coeff",
                                              "quant", "interpret"))
@@ -208,14 +245,13 @@ def ci_adcensus_kern(img_l: jnp.ndarray, img_r: jnp.ndarray,
         interpret=interpret,
     )(*args)
 
-    # right eye via shifted slices of the left volume (disparity-major, so
-    # each d-plane is one static lane slice of a 64-lane-padded buffer)
+    # right eye via per-d shifted slices of the left volume.  This shear
+    # runs as a tiny Pallas kernel: per-d XLA slices would carry a
+    # degenerate leading dim whose layout pads 128x (observed 5 MB -> 645
+    # MB HLO temps at 4K).  In-kernel the slices are plain 2D lane
+    # windows at static offsets.
     half = _LANE // 2
-    padded = jnp.pad(out_l, ((0, 0), (0, 0), (half, half)))
-    out_r = jnp.stack([
-        jax.lax.slice_in_dim(padded[d], half - (d - zero_disp),
-                             half - (d - zero_disp) + wp, axis=1)
-        for d in range(num_disp)])
+    out_r = _shear_right(out_l, zero_disp, interpret)
 
     # exact border strips: leftmost tile plus the tile(s) covering
     # [w - 64, w) (where the shifted read would leave the image)
