@@ -450,6 +450,296 @@ def dr_irv_band_lr(disp_l, outl_l, disp_r, outl_r, arms_l, arms_r,
 
 
 # ---------------------------------------------------------------------------
+# Disparity-major aggregation: the whole 4-pass sequence in the cost
+# kernel's native (2D, H, W) layout (both eyes stacked on the leading /
+# sublane axis).
+#
+# The lane-major path pays two (D, H, W) <-> (H, W, D) relayouts (~15 ms
+# each for a 1080p volume -- the largest single cost in the round-2 core)
+# plus a 1 GB eye concat.  Disparity-major, every pass is still a banded
+# matmul -- dot((2D, win), (win, otile)) with D riding the sublanes and
+# the window axis on the lanes -- so the only layout churn left is one
+# batched minor-dim swap (D, H, W) <-> (D, W, H) before and after the
+# fused V-passes, and WTA becomes a sublane argmin.  Per-eye band
+# matrices select the [0:D) / [D:2D) sublane halves.
+#
+# Numerics are the unchanged quantized-integer scheme, so results are
+# bit-identical to band_aggregate_q composed with the layout moves.
+# ---------------------------------------------------------------------------
+
+
+def _dm_tiles(w: int, otile: int):
+    wp = -(-w // _LANE) * _LANE
+    tiles, a0 = [], 0
+    while a0 < wp:
+        tiles.append((a0, min(otile, wp - a0)))
+        a0 += otile
+    return wp, tuple(tiles)
+
+
+def _dm_ioffs(tiles):
+    """(win, width) window-offset iotas per distinct tile width (window
+    position i at lane a0 + i - _HALO, output at lane a0 + o)."""
+    out = {}
+    for _, width in tiles:
+        if width not in out:
+            i = jax.lax.broadcasted_iota(
+                jnp.int32, (width + 2 * _HALO, width), 0)
+            o = jax.lax.broadcasted_iota(
+                jnp.int32, (width + 2 * _HALO, width), 1)
+            out[width] = i - _HALO - o
+    return out
+
+
+def _dm_digits(x):
+    """(S, win) int16 -> exact base-256 bf16 digit pair."""
+    xf = x.astype(F32)
+    hi = jnp.floor(xf * F32(1.0 / 256.0))
+    lo = xf - hi * F32(256.0)
+    return lo.astype(BF16), hi.astype(BF16)
+
+
+def _pass1_dm_kernel(anl, apl, anr, apr, vol_ref, out_ref, *,
+                     num_disp: int, tiles: tuple, rows: int):
+    """Pass 1 (H span sum) disparity-major: vol (2D, rows, WP + 128) bf16
+    quantized costs, arms (rows, WP) per eye, out (2D, rows, WP) i16."""
+    ioffs = _dm_ioffs(tiles)
+    for a0, width in tiles:
+        ioff = ioffs[width]
+        for r in range(rows):
+            x = vol_ref[:, r, a0:a0 + width + 2 * _HALO]   # (2D, win)
+            for e, (an_ref, ap_ref) in enumerate(((anl, apl), (anr, apr))):
+                an = an_ref[r:r + 1, a0:a0 + width]        # (1, width)
+                ap = ap_ref[r:r + 1, a0:a0 + width]
+                band = ((ioff >= -an) & (ioff < ap)).astype(BF16)
+                xe = x[e * num_disp:(e + 1) * num_disp]
+                y = jnp.dot(xe, band, preferred_element_type=F32)
+                out_ref[e * num_disp:(e + 1) * num_disp, r,
+                        a0:a0 + width] = y.astype(out_ref.dtype)
+
+
+def _vv_dm_kernel(anl, apl, anr, apr, vol_ref, out_ref, lo_ref, hi_ref, *,
+                  num_disp: int, s2: int, s3: int, tiles: tuple,
+                  rows: int, halo_hi: int):
+    """Fused V passes 2+3 disparity-major: vol (2D, rows, HP + 128) i16
+    (transposed: lanes = per-eye image rows), per-eye U/D arms transposed
+    (rows, HP), digit scratches (2D, rows, HP + 128) bf16."""
+    ioffs = _dm_ioffs(tiles)
+    d2 = lo_ref.shape[0]
+    z_lo = jnp.zeros((d2, rows, _HALO), BF16)
+    z_hi = jnp.zeros((d2, rows, halo_hi), BF16)
+    for ref in (lo_ref, hi_ref):
+        ref[:, :, :_HALO] = z_lo
+        ref[:, :, ref.shape[2] - halo_hi:] = z_hi
+
+    for a0, width in tiles:              # pass 2 -> scratch digits
+        ioff = ioffs[width]
+        for r in range(rows):
+            x = vol_ref[:, r, a0:a0 + width + 2 * _HALO]
+            lo, hi = _dm_digits(x)
+            for e, (an_ref, ap_ref) in enumerate(((anl, apl), (anr, apr))):
+                an = an_ref[r:r + 1, a0:a0 + width]
+                ap = ap_ref[r:r + 1, a0:a0 + width]
+                band = ((ioff >= -an) & (ioff < ap)).astype(BF16)
+                sl = slice(e * num_disp, (e + 1) * num_disp)
+                y = (jnp.dot(lo[sl], band, preferred_element_type=F32)
+                     + jnp.dot(hi[sl], band,
+                               preferred_element_type=F32) * F32(256.0))
+                y = jnp.floor(y * F32(2.0 ** -s2) + F32(0.5))
+                yh = jnp.floor(y * F32(1.0 / 256.0))
+                yl = y - yh * F32(256.0)
+                lo_ref[sl, r, _HALO + a0:_HALO + a0 + width] = \
+                    yl.astype(BF16)
+                hi_ref[sl, r, _HALO + a0:_HALO + a0 + width] = \
+                    yh.astype(BF16)
+
+    for a0, width in tiles:              # pass 3 <- scratch digits
+        ioff = ioffs[width]
+        for r in range(rows):
+            lo = lo_ref[:, r, a0:a0 + width + 2 * _HALO]
+            hi = hi_ref[:, r, a0:a0 + width + 2 * _HALO]
+            for e, (an_ref, ap_ref) in enumerate(((anl, apl), (anr, apr))):
+                an = an_ref[r:r + 1, a0:a0 + width]
+                ap = ap_ref[r:r + 1, a0:a0 + width]
+                band = ((ioff >= -an) & (ioff < ap)).astype(BF16)
+                sl = slice(e * num_disp, (e + 1) * num_disp)
+                y = (jnp.dot(lo[sl], band, preferred_element_type=F32)
+                     + jnp.dot(hi[sl], band,
+                               preferred_element_type=F32) * F32(256.0))
+                y = jnp.floor(y * F32(2.0 ** -s3) + F32(0.5))
+                out_ref[sl, r, a0:a0 + width] = y.astype(out_ref.dtype)
+
+
+def _pass4_dm_kernel(anl, apl, anr, apr, vol_ref, outl_ref, outr_ref, *,
+                     num_disp: int, zero_disp: int, tiles: tuple,
+                     rows: int):
+    """Pass 4 + fused WTA disparity-major: vol (2D, rows, WP + 128) i16,
+    outputs (rows, WP) f32 disparities per eye.  First-min argmin over
+    the D sublanes (d_dc_wta.cu:24-34 tie rule)."""
+    ioffs = _dm_ioffs(tiles)
+    big = jnp.int32(num_disp)
+    for a0, width in tiles:
+        ioff = ioffs[width]
+        for r in range(rows):
+            x = vol_ref[:, r, a0:a0 + width + 2 * _HALO]
+            lo, hi = _dm_digits(x)
+            for (an_ref, ap_ref, out_ref, sl) in (
+                    (anl, apl, outl_ref, slice(0, num_disp)),
+                    (anr, apr, outr_ref, slice(num_disp, 2 * num_disp))):
+                an = an_ref[r:r + 1, a0:a0 + width]
+                ap = ap_ref[r:r + 1, a0:a0 + width]
+                band = ((ioff >= -an) & (ioff < ap)).astype(BF16)
+                y = (jnp.dot(lo[sl], band, preferred_element_type=F32)
+                     + jnp.dot(hi[sl], band,
+                               preferred_element_type=F32) * F32(256.0))
+                minv = jnp.min(y, axis=0, keepdims=True)   # (1, width)
+                d_iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (num_disp, width), 0)
+                am = jnp.min(jnp.where(y == minv, d_iota, big), axis=0)
+                out_ref[r, a0:a0 + width] = (
+                    am - zero_disp).astype(jnp.float32)
+
+
+def _dm_specs(d2: int, rows: int, wp: int, n_arms: int = 4):
+    arm_spec = pl.BlockSpec((rows, wp), lambda y: (y, 0),
+                            memory_space=pltpu.VMEM)
+    vol_spec = pl.BlockSpec((d2, rows, wp + 2 * _HALO),
+                            lambda y: (0, y, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((d2, rows, wp), lambda y: (0, y, 0),
+                            memory_space=pltpu.VMEM)
+    return [arm_spec] * n_arms + [vol_spec], out_spec, arm_spec
+
+
+def _dm_pad(vol, arms_list, rows, wp, w):
+    """Zero-pad volume lanes by the window halo (padded lanes are never
+    selected by any band -- arms stop at the image border -- but must
+    exist and be finite), arms to the padded grid."""
+    d2, h, _ = vol.shape
+    hp = -(-h // rows) * rows
+    vol = jnp.pad(vol, ((0, 0), (0, hp - h), (_HALO, _HALO + wp - w)))
+    arms = [jnp.pad(a.astype(jnp.int32), ((0, hp - h), (0, wp - w)))
+            for a in arms_list]
+    return vol, arms, hp
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_disp", "zero_disp", "max_arm", "rows", "otile", "interpret"))
+def band_aggregate_q_dm(cost2, arms_l, arms_r, *, num_disp: int,
+                        zero_disp: int, max_arm: int, rows: int = _ROWS,
+                        otile: int = 2 * _LANE, interpret: bool = False):
+    """Four-pass quantized cross aggregation + fused WTA, entirely in the
+    cost kernel's (2D, H, W) disparity-major layout (left eye on sublanes
+    [0, D), right on [D, 2D)).  Returns (disp_l, disp_r) (H, W) f32,
+    bit-identical to the lane-major band_aggregate_q path (same integer
+    arithmetic; layout only).  Aggregation order H,V,V,H per
+    d_ca_cross.cu:255-271."""
+    from stereo_to_multiview_tpu.ops.cross import UP, DOWN, LEFT, RIGHT
+    if max_arm > _HALO:
+        raise ValueError("band aggregation requires max_arm (usd) <= 64")
+    s2, s3 = agg_rescale_shifts(max_arm)
+    d2, h, w = cost2.shape
+    cparams = pltpu.CompilerParams(dimension_semantics=("parallel",),
+                                   vmem_limit_bytes=_VMEM_LIMIT)
+
+    # pass 1: H span sum on (2D, H, W)
+    wp, tiles = _dm_tiles(w, otile)
+    vol, arms, hp = _dm_pad(
+        cost2, (arms_l[LEFT], arms_l[RIGHT], arms_r[LEFT], arms_r[RIGHT]),
+        rows, wp, w)
+    in_specs, out_spec, _ = _dm_specs(d2, rows, wp)
+    s1 = pl.pallas_call(
+        functools.partial(_pass1_dm_kernel, num_disp=num_disp,
+                          tiles=tiles, rows=rows),
+        grid=(hp // rows,),
+        in_specs=in_specs, out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((d2, hp, wp), jnp.int16),
+        compiler_params=cparams, interpret=interpret,
+    )(*arms, vol)[:, :h, :w]
+
+    # fused passes 2+3: V span sums on the (2D, W, H) minor-swap
+    hp2, tiles2 = _dm_tiles(h, otile)
+    volt, armst, wpr = _dm_pad(
+        jnp.swapaxes(s1, 1, 2),
+        (arms_l[UP].T, arms_l[DOWN].T, arms_r[UP].T, arms_r[DOWN].T),
+        rows, hp2, h)
+    in_specs2, out_spec2, _ = _dm_specs(d2, rows, hp2)
+    scratch = pltpu.VMEM((d2, rows, hp2 + 2 * _HALO), BF16)
+    vv = pl.pallas_call(
+        functools.partial(_vv_dm_kernel, num_disp=num_disp, s2=s2, s3=s3,
+                          tiles=tiles2, rows=rows,
+                          halo_hi=_HALO + (hp2 - h)),
+        grid=(wpr // rows,),
+        in_specs=in_specs2, out_specs=out_spec2,
+        out_shape=jax.ShapeDtypeStruct((d2, wpr, hp2), jnp.int16),
+        scratch_shapes=[scratch, scratch],
+        compiler_params=cparams, interpret=interpret,
+    )(*armst, volt)[:, :w, :h]
+
+    # pass 4 + WTA back on (2D, H, W)
+    vol4, arms4, hp4 = _dm_pad(
+        jnp.swapaxes(vv, 1, 2),
+        (arms_l[LEFT], arms_l[RIGHT], arms_r[LEFT], arms_r[RIGHT]),
+        rows, wp, w)
+    in_specs4, _, arm_spec4 = _dm_specs(d2, rows, wp)
+    dspec = pl.BlockSpec((rows, wp), lambda y: (y, 0),
+                         memory_space=pltpu.VMEM)
+    disp_l, disp_r = pl.pallas_call(
+        functools.partial(_pass4_dm_kernel, num_disp=num_disp,
+                          zero_disp=zero_disp, tiles=tiles, rows=rows),
+        grid=(hp4 // rows,),
+        in_specs=in_specs4, out_specs=(dspec, dspec),
+        out_shape=(jax.ShapeDtypeStruct((hp4, wp), jnp.float32),
+                   jax.ShapeDtypeStruct((hp4, wp), jnp.float32)),
+        compiler_params=cparams, interpret=interpret,
+    )(*arms4, vol4)
+    return disp_l[:h, :w], disp_r[:h, :w]
+
+
+def band_stereo_core_dm(img_l, img_r, arms_l, arms_r, cfg,
+                        interpret: bool = False):
+    """Disparity-major stereo core: stacked-eyes cost init
+    (ci_adcensus_kern_stacked, native (2D, H, W) output) + the four-pass
+    quantized aggregation with fused WTA (band_aggregate_q_dm), streamed
+    over row chunks of cfg.band_row_chunk output rows.  No (H, W, D)
+    relayout, shear, or eye concat ever happens; results are bit-identical
+    to band_stereo_core_chunked (same integer arithmetic, layout only).
+
+    Returns (disp_l, disp_r) float32.
+    """
+    from stereo_to_multiview_tpu.ops.costkern import ci_adcensus_kern_stacked
+
+    h = img_l.shape[0]
+    usd = cfg.usd
+    if usd > 64:
+        raise ValueError("band engine requires usd <= 64 (256-wide kernel "
+                         "windows); use engine='xla' for larger arms")
+    chunk = cfg.band_row_chunk or h
+    halo = 2 * usd
+    ext, bounds = _chunk_bounds(h, chunk, halo)
+
+    parts_l, parts_r = [], []
+    for start, lo in bounds:
+        i0, i1 = max(0, start - 3), min(h, start + ext + 3)
+        c_lo = start - i0                  # cost rows inside the img slice
+        cost2 = ci_adcensus_kern_stacked(
+            img_l[i0:i1], img_r[i0:i1], cfg.ad_coeff, cfg.census_coeff,
+            cfg.num_disp, cfg.zero_disp, quant=True, interpret=interpret)
+        cost2 = cost2[:, c_lo:c_lo + ext]
+        sl = slice(start, start + ext)
+        dl, dr = band_aggregate_q_dm(
+            cost2, arms_l[:, sl], arms_r[:, sl], num_disp=cfg.num_disp,
+            zero_disp=cfg.zero_disp, max_arm=usd, interpret=interpret)
+        n_valid = min(chunk, h - (start + lo))
+        v = slice(lo, lo + n_valid)
+        parts_l.append(dl[v])
+        parts_r.append(dr[v])
+    if len(parts_l) == 1:
+        return parts_l[0], parts_r[0]
+    return (jnp.concatenate(parts_l, axis=0),
+            jnp.concatenate(parts_r, axis=0))
+
+
+# ---------------------------------------------------------------------------
 # Row-chunked stereo core: HBM-bounded processing of the (H, W, D) volume.
 #
 # At 1080p / D=128 a cost volume is ~1 GB per eye and the aggregate

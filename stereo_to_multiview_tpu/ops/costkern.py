@@ -89,7 +89,7 @@ def _cost_kernel(*refs, num_disp: int, zero_disp: int,
 
     third = F32(0.33333333333)
 
-    def emit(own, own_cen, other_ch, other_cen_ch, off, out):
+    def emit(own, own_cen, other_ch, other_cen_ch, off, out, idx):
         ad = jnp.zeros((_ROWS, _LANE), jnp.int32)
         for c in range(3):
             ad = ad + jnp.abs(own[c] - _window(other_ch[c], off))
@@ -99,17 +99,20 @@ def _cost_kernel(*refs, num_disp: int, zero_disp: int,
                 + (F32(1.0) - jnp.exp(-ham.astype(F32) * inv_cen)))
         if quant:
             cost = jnp.rint(cost * F32(_QSCALE))
-        out[d] = cost.astype(out.dtype)
+        out[idx] = cost.astype(out.dtype)
 
     for d in range(num_disp):
         if "l" in eyes:
             # left eye: other-eye (R) window at x + (d - zero_disp);
             # padded-plane lane offset = 128 + (d - zero_disp)
-            emit(l_own, cl_own, r_ch, cr_ch, _PAD + d - zero_disp, outs[0])
+            emit(l_own, cl_own, r_ch, cr_ch, _PAD + d - zero_disp,
+                 outs[0], d)
         if "r" in eyes:
-            # right eye: other-eye (L) window at x - (d - zero_disp)
+            # right eye: other-eye (L) window at x - (d - zero_disp);
+            # "stacked" mode puts it at leading index D + d of the single
+            # (2D, rows, 128) output block
             emit(r_own, cr_own, l_ch, cl_ch, _PAD - (d - zero_disp),
-                 outs[-1])
+                 outs[-1], num_disp + d if eyes == "lr_stacked" else d)
 
 
 def _shear_kernel(in_ref, out_ref, *, num_disp: int, zero_disp: int):
@@ -149,32 +152,11 @@ def _shear_right(out_l: jnp.ndarray, zero_disp: int,
     )(padded)
 
 
-@functools.partial(jax.jit, static_argnames=("num_disp", "zero_disp",
-                                             "ad_coeff", "census_coeff",
-                                             "quant", "interpret"))
-def ci_adcensus_kern(img_l: jnp.ndarray, img_r: jnp.ndarray,
-                     ad_coeff: float, census_coeff: float,
-                     num_disp: int, zero_disp: int, quant: bool = False,
-                     interpret: bool = False):
-    """(H, W, 3) u8 pair -> ((H, W, D), (H, W, D)) cost volumes.
-
-    With quant=False, f32 costs matching ops.cost.ci_adcensus_hwd up to
-    exp rounding.  With quant=True, round(cost * 127) as bf16-exact
-    integers in [0, 254] -- the quantized band engine's cost volume
-    (ops.band.QSCALE; halves the HBM traffic of the volume).
-
-    Requires num_disp <= 128 and zero_disp <= 128 (one neighbor chunk of
-    reach on each side).
-    """
+def _cost_planes(img_l, img_r, h, w, hp, wp):
+    """Padded i32 image/census planes in the kernel's argument order:
+    l b/g/r, r b/g/r, cl w0/w1, cr w0/w1."""
     from stereo_to_multiview_tpu.ops.cost import census_transform_9x7
     from stereo_to_multiview_tpu.ops.mux import mux_average
-
-    if num_disp > 128 or zero_disp > 128:
-        raise ValueError("ci_adcensus_kern supports num_disp/zero_disp "
-                         "<= 128")
-    h, w = img_l.shape[:2]
-    hp = -(-h // _ROWS) * _ROWS
-    wp = -(-w // _LANE) * _LANE
 
     cen_l = census_transform_9x7(mux_average(img_l))
     cen_r = census_transform_9x7(mux_average(img_r))
@@ -190,9 +172,87 @@ def ci_adcensus_kern(img_l: jnp.ndarray, img_r: jnp.ndarray,
         return out
 
     pls = planes(img_l, cen_l) + planes(img_r, cen_r)
-    # order for the kernel: l b/g/r, r b/g/r, cl w0/w1, cr w0/w1
-    args = [pls[0], pls[1], pls[2], pls[5], pls[6], pls[7],
+    return [pls[0], pls[1], pls[2], pls[5], pls[6], pls[7],
             pls[3], pls[4], pls[8], pls[9]]
+
+
+@functools.partial(jax.jit, static_argnames=("num_disp", "zero_disp",
+                                             "ad_coeff", "census_coeff",
+                                             "quant", "interpret"))
+def ci_adcensus_kern_stacked(img_l: jnp.ndarray, img_r: jnp.ndarray,
+                             ad_coeff: float, census_coeff: float,
+                             num_disp: int, zero_disp: int,
+                             quant: bool = True,
+                             interpret: bool = False) -> jnp.ndarray:
+    """(H, W, 3) u8 pair -> ONE (2D, H, W) disparity-major cost volume
+    (left eye on leading indices [0, D), right on [D, 2D)) -- the native
+    layout of band_aggregate_q_dm, with no relayout, shear, or eye concat
+    (both eyes are computed in full; the shift-extraction variant measured
+    slower on this TPU: the f32 lane roll costs more than the saved
+    arithmetic).  Costs are quantized (quant=True) by default.
+
+    Reference semantics: d_ci_ad.cu:73-159, d_ci_census.cu:197-254,
+    d_ci_adcensus.cu:10-36.
+    """
+    if num_disp > 128 or zero_disp > 128:
+        raise ValueError("ci_adcensus_kern supports num_disp/zero_disp "
+                         "<= 128")
+    h, w = img_l.shape[:2]
+    hp = -(-h // _ROWS) * _ROWS
+    wp = -(-w // _LANE) * _LANE
+    args = _cost_planes(img_l, img_r, h, w, hp, wp)
+
+    grid = (hp // _ROWS, wp // _LANE)
+    plane_spec = pl.BlockSpec((_ROWS, w + 2 * _PAD + (wp - w)),
+                              lambda y, s: (y, 0),
+                              memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((2 * num_disp, _ROWS, _LANE),
+                            lambda y, s: (0, y, s),
+                            memory_space=pltpu.VMEM)
+    out_dt = jnp.bfloat16 if quant else jnp.float32
+    kern = functools.partial(_cost_kernel, num_disp=num_disp,
+                             zero_disp=zero_disp,
+                             inv_ad=float(1.0 / ad_coeff),
+                             inv_cen=float(1.0 / census_coeff),
+                             quant=quant, eyes="lr_stacked")
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[plane_spec] * 10,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((2 * num_disp, hp, wp), out_dt),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(*args)
+    return out[:, :h, :w]
+
+
+@functools.partial(jax.jit, static_argnames=("num_disp", "zero_disp",
+                                             "ad_coeff", "census_coeff",
+                                             "quant", "interpret",
+                                             "shift_extract"))
+def ci_adcensus_kern(img_l: jnp.ndarray, img_r: jnp.ndarray,
+                     ad_coeff: float, census_coeff: float,
+                     num_disp: int, zero_disp: int, quant: bool = False,
+                     interpret: bool = False, shift_extract: bool = False):
+    """(H, W, 3) u8 pair -> ((H, W, D), (H, W, D)) cost volumes.
+
+    With quant=False, f32 costs matching ops.cost.ci_adcensus_hwd up to
+    exp rounding.  With quant=True, round(cost * 127) as bf16-exact
+    integers in [0, 254] -- the quantized band engine's cost volume
+    (ops.band.QSCALE; halves the HBM traffic of the volume).
+
+    Requires num_disp <= 128 and zero_disp <= 128 (one neighbor chunk of
+    reach on each side).
+    """
+    if num_disp > 128 or zero_disp > 128:
+        raise ValueError("ci_adcensus_kern supports num_disp/zero_disp "
+                         "<= 128")
+    h, w = img_l.shape[:2]
+    hp = -(-h // _ROWS) * _ROWS
+    wp = -(-w // _LANE) * _LANE
+    args = _cost_planes(img_l, img_r, h, w, hp, wp)
 
     grid = (hp // _ROWS, wp // _LANE)
     plane_spec = pl.BlockSpec((_ROWS, w + 2 * _PAD + (wp - w)),
@@ -215,8 +275,11 @@ def ci_adcensus_kern(img_l: jnp.ndarray, img_r: jnp.ndarray,
     # assembled from per-d shifted slices of the left one, with the <=
     # 64-column border strips (where x - (d - zd) would clamp) recomputed
     # exactly by 128-column-tile kernel calls.  d_ci_ad.cu:133-144 is the
-    # symmetry being exploited.
-    shift_extract = (w >= 3 * _LANE
+    # symmetry being exploited.  OFF by default: on this TPU the f32 lane
+    # roll in the shear costs more than the halved arithmetic saves
+    # (measured 21.1 -> 34.75 ms at 1080p/D=128); kept as an opt-in for
+    # hardware where rotates are cheap.
+    shift_extract = (shift_extract and w >= 3 * _LANE
                      and max(zero_disp, num_disp - zero_disp) <= _LANE // 2)
 
     if not shift_extract:

@@ -141,7 +141,7 @@ def test_ci_adcensus_kern_shift_extracted_right_eye(rng):
         l = jnp.asarray(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
         r = jnp.asarray(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
         a, b = ci_adcensus_kern(l, r, 10.0, 30.0, nd, zd, quant=True,
-                                interpret=True)
+                                interpret=True, shift_extract=True)
         ra, rb = ci_adcensus_hwd(l, r, 10.0, 30.0, nd, zd)
         np.testing.assert_array_equal(
             _np(a), _np(jnp.rint(ra * 127).astype(jnp.bfloat16)))
@@ -186,6 +186,71 @@ def test_chunked_core_matches_unchunked(stereo_pair):
     for a, b in zip(ref, got):
         np.testing.assert_array_equal(_np(a[0]), _np(b[0]))
         np.testing.assert_array_equal(_np(a[1]), _np(b[1]))
+
+
+def test_band_aggregate_dm_matches_lane_major(rng):
+    """Disparity-major aggregation (band_aggregate_q_dm) + the stacked-eyes
+    cost kernel: bit-identical to the lane-major band path (same integer
+    arithmetic; layout only).  Multi-tile (otile=128) and padded widths
+    are exercised."""
+    from stereo_to_multiview_tpu.ops.band import (
+        band_aggregate_q, band_aggregate_q_dm, quantize_cost)
+    from stereo_to_multiview_tpu.ops.cost import ci_adcensus_hwd
+    from stereo_to_multiview_tpu.ops.costkern import ci_adcensus_kern_stacked
+
+    h, w, nd, zd, usd, lsd = 16, 160, 12, 6, 5, 2
+    l = jnp.asarray(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+    r = jnp.asarray(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+    arms_l = ops.cross_arms(l, 6.0, 20.0, usd, lsd)
+    arms_r = ops.cross_arms(r, 6.0, 20.0, usd, lsd)
+    cl, cr = ci_adcensus_hwd(l, r, 10.0, 30.0, nd, zd)
+    ql, qr = quantize_cost(cl), quantize_cost(cr)
+
+    cost = jnp.concatenate([ql, qr], axis=0)
+    arms = jnp.concatenate([arms_l, arms_r], axis=1)
+    disp = band_aggregate_q(cost, arms, usd, zero_disp=zd, interpret=True)
+    ref_l, ref_r = disp[:h], disp[h:]
+
+    # the stacked cost kernel's (2D, H, W) output == moveaxis of the
+    # per-eye volumes
+    cost2 = ci_adcensus_kern_stacked(l, r, 10.0, 30.0, nd, zd,
+                                     interpret=True)
+    np.testing.assert_array_equal(
+        _np(cost2), _np(jnp.concatenate([jnp.moveaxis(ql, 2, 0),
+                                         jnp.moveaxis(qr, 2, 0)], axis=0)))
+
+    for otile in (128, 256):
+        dl, dr = band_aggregate_q_dm(cost2, arms_l, arms_r, num_disp=nd,
+                                     zero_disp=zd, max_arm=usd,
+                                     otile=otile, interpret=True)
+        np.testing.assert_array_equal(_np(ref_l), _np(dl))
+        np.testing.assert_array_equal(_np(ref_r), _np(dr))
+
+
+def test_band_core_dm_matches_chunked(stereo_pair):
+    """band_stereo_core_dm (whole-frame and row-chunked) vs the lane-major
+    chunked core: bit-exact."""
+    from stereo_to_multiview_tpu.config import PipelineConfig
+    from stereo_to_multiview_tpu.ops.band import (
+        band_stereo_core_chunked, band_stereo_core_dm)
+    left, right = stereo_pair
+    h, w = left.shape[:2]
+    base = dict(num_rows=h, num_cols=w, num_rows_out=h, num_cols_out=w,
+                num_disp=12, zero_disp=6, usd=5, lsd=2, irv_iterations=2,
+                irv_thresh_s=5, irv_thresh_h=0.4, num_views=4)
+    l, r = jnp.asarray(left), jnp.asarray(right)
+    arms_l = ops.cross_arms(l, 6.0, 20.0, 5, 2)
+    arms_r = ops.cross_arms(r, 6.0, 20.0, 5, 2)
+
+    cfg_whole = PipelineConfig(engine="band", band_row_chunk=0, **base)
+    ref = band_stereo_core_chunked(l, r, arms_l, arms_r, cfg_whole,
+                                   interpret=True)
+    for chunk in (0, 8):
+        cfg = PipelineConfig(engine="band", band_row_chunk=chunk, **base)
+        got = band_stereo_core_dm(l, r, arms_l, arms_r, cfg,
+                                  interpret=True)
+        np.testing.assert_array_equal(_np(ref[0]), _np(got[0]))
+        np.testing.assert_array_equal(_np(ref[1]), _np(got[1]))
 
 
 def test_irv_round_kern_matches_dr_irv(stereo_pair, rng):
