@@ -477,17 +477,17 @@ def _dm_tiles(w: int, otile: int):
     return wp, tuple(tiles)
 
 
-def _dm_ioffs(tiles):
+def _dm_ioffs(tiles, halo: int = _HALO):
     """(win, width) window-offset iotas per distinct tile width (window
-    position i at lane a0 + i - _HALO, output at lane a0 + o)."""
+    position i at lane a0 + i - halo, output at lane a0 + o)."""
     out = {}
     for _, width in tiles:
         if width not in out:
             i = jax.lax.broadcasted_iota(
-                jnp.int32, (width + 2 * _HALO, width), 0)
+                jnp.int32, (width + 2 * halo, width), 0)
             o = jax.lax.broadcasted_iota(
-                jnp.int32, (width + 2 * _HALO, width), 1)
-            out[width] = i - _HALO - o
+                jnp.int32, (width + 2 * halo, width), 1)
+            out[width] = i - halo - o
     return out
 
 
@@ -520,20 +520,26 @@ def _pass1_dm_kernel(anl, apl, anr, apr, vol_ref, out_ref, *,
 
 def _vv_dm_kernel(anl, apl, anr, apr, vol_ref, out_ref, lo_ref, hi_ref, *,
                   num_disp: int, s2: int, s3: int, tiles: tuple,
-                  rows: int, halo_hi: int):
+                  rows: int):
     """Fused V passes 2+3 disparity-major: vol (2D, rows, HP + 128) i16
     (transposed: lanes = per-eye image rows), per-eye U/D arms transposed
-    (rows, HP), digit scratches (2D, rows, HP + 128) bf16."""
-    ioffs = _dm_ioffs(tiles)
+    (rows, HP), digit scratches (2D, rows, HP + 256) bf16.
+
+    The scratch gives image lane c the position 128 + c so every store
+    lands 128-aligned (Mosaic miscompiles lane stores at offset 64);
+    pass 3 then reads aligned 2*128-halo windows whose extra positions
+    carry zero band rows."""
+    ioffs2 = _dm_ioffs(tiles)                    # pass-2 vol windows
+    ioffs3 = _dm_ioffs(tiles, halo=2 * _HALO)    # pass-3 scratch windows
     d2 = lo_ref.shape[0]
-    z_lo = jnp.zeros((d2, rows, _HALO), BF16)
-    z_hi = jnp.zeros((d2, rows, halo_hi), BF16)
+    hp2 = out_ref.shape[2]
+    z = jnp.zeros((d2, rows, 2 * _HALO), BF16)
     for ref in (lo_ref, hi_ref):
-        ref[:, :, :_HALO] = z_lo
-        ref[:, :, ref.shape[2] - halo_hi:] = z_hi
+        ref[:, :, :2 * _HALO] = z
+        ref[:, :, hp2 + 2 * _HALO:] = z
 
     for a0, width in tiles:              # pass 2 -> scratch digits
-        ioff = ioffs[width]
+        ioff = ioffs2[width]
         for r in range(rows):
             x = vol_ref[:, r, a0:a0 + width + 2 * _HALO]
             lo, hi = _dm_digits(x)
@@ -548,16 +554,16 @@ def _vv_dm_kernel(anl, apl, anr, apr, vol_ref, out_ref, lo_ref, hi_ref, *,
                 y = jnp.floor(y * F32(2.0 ** -s2) + F32(0.5))
                 yh = jnp.floor(y * F32(1.0 / 256.0))
                 yl = y - yh * F32(256.0)
-                lo_ref[sl, r, _HALO + a0:_HALO + a0 + width] = \
+                lo_ref[sl, r, 2 * _HALO + a0:2 * _HALO + a0 + width] = \
                     yl.astype(BF16)
-                hi_ref[sl, r, _HALO + a0:_HALO + a0 + width] = \
+                hi_ref[sl, r, 2 * _HALO + a0:2 * _HALO + a0 + width] = \
                     yh.astype(BF16)
 
     for a0, width in tiles:              # pass 3 <- scratch digits
-        ioff = ioffs[width]
+        ioff = ioffs3[width]
         for r in range(rows):
-            lo = lo_ref[:, r, a0:a0 + width + 2 * _HALO]
-            hi = hi_ref[:, r, a0:a0 + width + 2 * _HALO]
+            lo = lo_ref[:, r, a0:a0 + width + 4 * _HALO]
+            hi = hi_ref[:, r, a0:a0 + width + 4 * _HALO]
             for e, (an_ref, ap_ref) in enumerate(((anl, apl), (anr, apr))):
                 an = an_ref[r:r + 1, a0:a0 + width]
                 ap = ap_ref[r:r + 1, a0:a0 + width]
@@ -663,11 +669,10 @@ def band_aggregate_q_dm(cost2, arms_l, arms_r, *, num_disp: int,
         (arms_l[UP].T, arms_l[DOWN].T, arms_r[UP].T, arms_r[DOWN].T),
         rows, hp2, h)
     in_specs2, out_spec2, _ = _dm_specs(d2, rows, hp2)
-    scratch = pltpu.VMEM((d2, rows, hp2 + 2 * _HALO), BF16)
+    scratch = pltpu.VMEM((d2, rows, hp2 + 4 * _HALO), BF16)
     vv = pl.pallas_call(
         functools.partial(_vv_dm_kernel, num_disp=num_disp, s2=s2, s3=s3,
-                          tiles=tiles2, rows=rows,
-                          halo_hi=_HALO + (hp2 - h)),
+                          tiles=tiles2, rows=rows),
         grid=(wpr // rows,),
         in_specs=in_specs2, out_specs=out_spec2,
         out_shape=jax.ShapeDtypeStruct((d2, wpr, hp2), jnp.int16),
