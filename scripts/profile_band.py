@@ -104,6 +104,10 @@ def main():
         timed("stereo_core_chunked", lambda l, r, al, ar:
               B.band_stereo_core_chunked(l, r, al, ar, cfg, interp),
               img_l, img_r, arms_l, arms_r)
+    if W("coredm"):
+        timed("stereo_core_dm", lambda l, r, al, ar:
+              B.band_stereo_core_dm(l, r, al, ar, cfg, interp),
+              img_l, img_r, arms_l, arms_r)
     if W("cost"):
         from stereo_to_multiview_tpu.ops.costkern import ci_adcensus_kern
         timed("ci_adcensus_kern", lambda l, r: ci_adcensus_kern(

@@ -499,18 +499,35 @@ def _dm_digits(x):
     return lo.astype(BF16), hi.astype(BF16)
 
 
-def _pass1_dm_kernel(anl, apl, anr, apr, vol_ref, out_ref, *,
+def _dm_pack_arms(an_l, ap_l, an_r, ap_r):
+    """Pack the four arm planes (values <= 64) into one i32 plane: byte e*2
+    holds eye e's negative reach, byte e*2+1 its positive reach.  One VMEM
+    input block instead of four (the pass-4 kernel was 120 KB over the
+    16 MB scoped-vmem budget at 1080p with separate planes)."""
+    i32 = jnp.int32
+    return (an_l.astype(i32) | (ap_l.astype(i32) << 8)
+            | (an_r.astype(i32) << 16) | (ap_r.astype(i32) << 24))
+
+
+def _dm_unpack_arms(arms_ref, r, a0, width, e):
+    """(1, width) negative/positive reach for eye e from the packed plane."""
+    p = arms_ref[r:r + 1, a0:a0 + width]
+    an = jax.lax.shift_right_logical(p, 16 * e) & 0x7F
+    ap = jax.lax.shift_right_logical(p, 16 * e + 8) & 0x7F
+    return an, ap
+
+
+def _pass1_dm_kernel(arms_ref, vol_ref, out_ref, *,
                      num_disp: int, tiles: tuple, rows: int):
     """Pass 1 (H span sum) disparity-major: vol (2D, rows, WP + 128) bf16
-    quantized costs, arms (rows, WP) per eye, out (2D, rows, WP) i16."""
+    quantized costs, packed arms (rows, WP) i32, out (2D, rows, WP) i16."""
     ioffs = _dm_ioffs(tiles)
     for a0, width in tiles:
         ioff = ioffs[width]
         for r in range(rows):
             x = vol_ref[:, r, a0:a0 + width + 2 * _HALO]   # (2D, win)
-            for e, (an_ref, ap_ref) in enumerate(((anl, apl), (anr, apr))):
-                an = an_ref[r:r + 1, a0:a0 + width]        # (1, width)
-                ap = ap_ref[r:r + 1, a0:a0 + width]
+            for e in range(2):
+                an, ap = _dm_unpack_arms(arms_ref, r, a0, width, e)
                 band = ((ioff >= -an) & (ioff < ap)).astype(BF16)
                 xe = x[e * num_disp:(e + 1) * num_disp]
                 y = jnp.dot(xe, band, preferred_element_type=F32)
@@ -518,12 +535,12 @@ def _pass1_dm_kernel(anl, apl, anr, apr, vol_ref, out_ref, *,
                         a0:a0 + width] = y.astype(out_ref.dtype)
 
 
-def _vv_dm_kernel(anl, apl, anr, apr, vol_ref, out_ref, lo_ref, hi_ref, *,
+def _vv_dm_kernel(arms_ref, vol_ref, out_ref, lo_ref, hi_ref, *,
                   num_disp: int, s2: int, s3: int, tiles: tuple,
                   rows: int):
     """Fused V passes 2+3 disparity-major: vol (2D, rows, HP + 128) i16
-    (transposed: lanes = per-eye image rows), per-eye U/D arms transposed
-    (rows, HP), digit scratches (2D, rows, HP + 256) bf16.
+    (transposed: lanes = per-eye image rows), packed U/D arms transposed
+    (rows, HP) i32, digit scratches (2D, rows, HP + 256) bf16.
 
     The scratch gives image lane c the position 128 + c so every store
     lands 128-aligned (Mosaic miscompiles lane stores at offset 64);
@@ -543,9 +560,8 @@ def _vv_dm_kernel(anl, apl, anr, apr, vol_ref, out_ref, lo_ref, hi_ref, *,
         for r in range(rows):
             x = vol_ref[:, r, a0:a0 + width + 2 * _HALO]
             lo, hi = _dm_digits(x)
-            for e, (an_ref, ap_ref) in enumerate(((anl, apl), (anr, apr))):
-                an = an_ref[r:r + 1, a0:a0 + width]
-                ap = ap_ref[r:r + 1, a0:a0 + width]
+            for e in range(2):
+                an, ap = _dm_unpack_arms(arms_ref, r, a0, width, e)
                 band = ((ioff >= -an) & (ioff < ap)).astype(BF16)
                 sl = slice(e * num_disp, (e + 1) * num_disp)
                 y = (jnp.dot(lo[sl], band, preferred_element_type=F32)
@@ -564,9 +580,8 @@ def _vv_dm_kernel(anl, apl, anr, apr, vol_ref, out_ref, lo_ref, hi_ref, *,
         for r in range(rows):
             lo = lo_ref[:, r, a0:a0 + width + 4 * _HALO]
             hi = hi_ref[:, r, a0:a0 + width + 4 * _HALO]
-            for e, (an_ref, ap_ref) in enumerate(((anl, apl), (anr, apr))):
-                an = an_ref[r:r + 1, a0:a0 + width]
-                ap = ap_ref[r:r + 1, a0:a0 + width]
+            for e in range(2):
+                an, ap = _dm_unpack_arms(arms_ref, r, a0, width, e)
                 band = ((ioff >= -an) & (ioff < ap)).astype(BF16)
                 sl = slice(e * num_disp, (e + 1) * num_disp)
                 y = (jnp.dot(lo[sl], band, preferred_element_type=F32)
@@ -576,7 +591,7 @@ def _vv_dm_kernel(anl, apl, anr, apr, vol_ref, out_ref, lo_ref, hi_ref, *,
                 out_ref[sl, r, a0:a0 + width] = y.astype(out_ref.dtype)
 
 
-def _pass4_dm_kernel(anl, apl, anr, apr, vol_ref, outl_ref, outr_ref, *,
+def _pass4_dm_kernel(arms_ref, vol_ref, outl_ref, outr_ref, *,
                      num_disp: int, zero_disp: int, tiles: tuple,
                      rows: int):
     """Pass 4 + fused WTA disparity-major: vol (2D, rows, WP + 128) i16,
@@ -589,11 +604,9 @@ def _pass4_dm_kernel(anl, apl, anr, apr, vol_ref, outl_ref, outr_ref, *,
         for r in range(rows):
             x = vol_ref[:, r, a0:a0 + width + 2 * _HALO]
             lo, hi = _dm_digits(x)
-            for (an_ref, ap_ref, out_ref, sl) in (
-                    (anl, apl, outl_ref, slice(0, num_disp)),
-                    (anr, apr, outr_ref, slice(num_disp, 2 * num_disp))):
-                an = an_ref[r:r + 1, a0:a0 + width]
-                ap = ap_ref[r:r + 1, a0:a0 + width]
+            for e, out_ref in enumerate((outl_ref, outr_ref)):
+                sl = slice(e * num_disp, (e + 1) * num_disp)
+                an, ap = _dm_unpack_arms(arms_ref, r, a0, width, e)
                 band = ((ioff >= -an) & (ioff < ap)).astype(BF16)
                 y = (jnp.dot(lo[sl], band, preferred_element_type=F32)
                      + jnp.dot(hi[sl], band,
@@ -606,25 +619,26 @@ def _pass4_dm_kernel(anl, apl, anr, apr, vol_ref, outl_ref, outr_ref, *,
                     am - zero_disp).astype(jnp.float32)
 
 
-def _dm_specs(d2: int, rows: int, wp: int, n_arms: int = 4):
+def _dm_specs(d2: int, rows: int, wp: int):
     arm_spec = pl.BlockSpec((rows, wp), lambda y: (y, 0),
                             memory_space=pltpu.VMEM)
     vol_spec = pl.BlockSpec((d2, rows, wp + 2 * _HALO),
                             lambda y: (0, y, 0), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((d2, rows, wp), lambda y: (0, y, 0),
                             memory_space=pltpu.VMEM)
-    return [arm_spec] * n_arms + [vol_spec], out_spec, arm_spec
+    return [arm_spec, vol_spec], out_spec, arm_spec
 
 
 def _dm_pad(vol, arms_list, rows, wp, w):
     """Zero-pad volume lanes by the window halo (padded lanes are never
     selected by any band -- arms stop at the image border -- but must
-    exist and be finite), arms to the padded grid."""
+    exist and be finite); pack + pad the four arm planes to one i32 plane
+    on the padded grid."""
     d2, h, _ = vol.shape
     hp = -(-h // rows) * rows
     vol = jnp.pad(vol, ((0, 0), (0, hp - h), (_HALO, _HALO + wp - w)))
-    arms = [jnp.pad(a.astype(jnp.int32), ((0, hp - h), (0, wp - w)))
-            for a in arms_list]
+    arms = jnp.pad(_dm_pack_arms(*arms_list),
+                   ((0, hp - h), (0, wp - w)))
     return vol, arms, hp
 
 
@@ -660,7 +674,7 @@ def band_aggregate_q_dm(cost2, arms_l, arms_r, *, num_disp: int,
         in_specs=in_specs, out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((d2, hp, wp), jnp.int16),
         compiler_params=cparams, interpret=interpret,
-    )(*arms, vol)[:, :h, :w]
+    )(arms, vol)[:, :h, :w]
 
     # fused passes 2+3: V span sums on the (2D, W, H) minor-swap
     hp2, tiles2 = _dm_tiles(h, otile)
@@ -678,7 +692,7 @@ def band_aggregate_q_dm(cost2, arms_l, arms_r, *, num_disp: int,
         out_shape=jax.ShapeDtypeStruct((d2, wpr, hp2), jnp.int16),
         scratch_shapes=[scratch, scratch],
         compiler_params=cparams, interpret=interpret,
-    )(*armst, volt)[:, :w, :h]
+    )(armst, volt)[:, :w, :h]
 
     # pass 4 + WTA back on (2D, H, W)
     vol4, arms4, hp4 = _dm_pad(
@@ -696,7 +710,7 @@ def band_aggregate_q_dm(cost2, arms_l, arms_r, *, num_disp: int,
         out_shape=(jax.ShapeDtypeStruct((hp4, wp), jnp.float32),
                    jax.ShapeDtypeStruct((hp4, wp), jnp.float32)),
         compiler_params=cparams, interpret=interpret,
-    )(*arms4, vol4)
+    )(arms4, vol4)
     return disp_l[:h, :w], disp_r[:h, :w]
 
 
