@@ -301,20 +301,36 @@ struct Y4MReader {
 
 static size_t y4m_frame_bytes(const Y4MReader* r) {
   size_t y = (size_t)r->w * r->h;
+  size_t cw = (size_t)((r->w + 1) / 2);
   if (r->cs == 444) return 3 * y;
-  if (r->cs == 422) return 2 * y;
-  return y + 2 * ((size_t)((r->w + 1) / 2) * ((r->h + 1) / 2));
+  if (r->cs == 422) return y + 2 * cw * r->h;  // cw x h chroma planes
+  return y + 2 * (cw * (size_t)((r->h + 1) / 2));
+}
+
+// Read one header line (up to '\n') of arbitrary length into `out`.
+// Returns false on EOF/error before any byte.
+static bool y4m_read_line(FILE* f, std::string* out) {
+  out->clear();
+  int c;
+  while ((c = fgetc(f)) != EOF) {
+    if (c == '\n') return true;
+    out->push_back((char)c);
+  }
+  return !out->empty();
 }
 
 void* stm_y4m_open(const char* path, int32_t* w, int32_t* h) {
   FILE* f = fopen(path, "rb");
   if (!f) return nullptr;
-  char line[512];
-  if (!fgets(line, sizeof(line), f)) { fclose(f); return nullptr; }
-  if (strncmp(line, "YUV4MPEG2", 9) != 0) { fclose(f); return nullptr; }
+  std::string hdr;
+  if (!y4m_read_line(f, &hdr)) { fclose(f); return nullptr; }
+  if (strncmp(hdr.c_str(), "YUV4MPEG2", 9) != 0) { fclose(f); return nullptr; }
   Y4MReader* r = new Y4MReader();
   r->f = f;
-  for (char* tok = strtok(line + 9, " \n"); tok; tok = strtok(nullptr, " \n")) {
+  std::vector<char> line(hdr.begin(), hdr.end());
+  line.push_back('\0');
+  for (char* tok = strtok(line.data() + 9, " "); tok;
+       tok = strtok(nullptr, " ")) {
     if (tok[0] == 'W') r->w = atoi(tok + 1);
     else if (tok[0] == 'H') r->h = atoi(tok + 1);
     else if (tok[0] == 'C') {
@@ -338,9 +354,9 @@ static inline uint8_t clip8(int v) {
 // 0 ok / 1 eof / <0 error.  bgr: (h, w, 3) uint8.
 int stm_y4m_next(void* vr, uint8_t* bgr) {
   Y4MReader* r = (Y4MReader*)vr;
-  char line[512];
-  if (!fgets(line, sizeof(line), r->f)) return 1;
-  if (strncmp(line, "FRAME", 5) != 0) return -2;
+  std::string line;
+  if (!y4m_read_line(r->f, &line)) return 1;
+  if (strncmp(line.c_str(), "FRAME", 5) != 0) return -2;
   if (fread(r->planes.data(), 1, r->planes.size(), r->f) != r->planes.size())
     return -3;
   int32_t w = r->w, h = r->h;

@@ -122,16 +122,22 @@ class Y4MReader:
 
 def write_y4m(path: str, frames: Sequence[np.ndarray] | Iterator[np.ndarray],
               colorspace: str = "C444", fps: Tuple[int, int] = (30, 1)):
-    """Write BGR uint8 frames as a Y4M stream (C444 lossless chroma, or
-    C420jpeg with top-left 2x2 subsampling)."""
+    """Write BGR uint8 frames as a Y4M stream (C444 lossless chroma,
+    C422 with left-sample horizontal subsampling, or C420jpeg with
+    top-left 2x2 subsampling)."""
     it: List[np.ndarray] = list(frames)
     if not it:
         raise ValueError("no frames")
     h, w = it[0].shape[:2]
-    cs = 444 if colorspace.startswith("C444") else 420
+    if colorspace.startswith("C444"):
+        cs, tag = 444, "C444"
+    elif colorspace.startswith("C422"):
+        cs, tag = 422, "C422"
+    else:
+        cs, tag = 420, "C420jpeg"
     with open(path, "wb") as f:
         f.write(f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 "
-                f"{'C444' if cs == 444 else 'C420jpeg'}\n".encode())
+                f"{tag}\n".encode())
         for img in it:
             if img.shape[:2] != (h, w):
                 raise ValueError("inconsistent frame size")
@@ -139,6 +145,9 @@ def write_y4m(path: str, frames: Sequence[np.ndarray] | Iterator[np.ndarray],
             if cs == 420:
                 u = u[::2, ::2]
                 v = v[::2, ::2]
+            elif cs == 422:
+                u = u[:, ::2]
+                v = v[:, ::2]
             f.write(b"FRAME\n")
             f.write(y.tobytes())
             f.write(u.tobytes())

@@ -127,18 +127,25 @@ def test_y4m_native_matches_python(tmp_path):
     from stereo_to_multiview_tpu.utils.y4m import (write_y4m, Y4MReader)
     from stereo_to_multiview_tpu import native as _native
     rng = np.random.default_rng(21)
+    # 25-wide frames: odd width exercises the C422 cw=(w+1)/2 frame
+    # sizing (a former native-reader bug desynced the stream there)
+    for shape in ((16, 24, 3), (16, 25, 3)):
+        frames = [rng.integers(0, 256, shape, dtype=np.uint8)
+                  for _ in range(3)]
+        for cs in ("C444", "C422", "C420jpeg"):
+            path = str(tmp_path / f"clip_{cs}_{shape[1]}.y4m")
+            write_y4m(path, frames, colorspace=cs)
+            py = list(Y4MReader(path))
+            assert len(py) == 3
+            if _native.available():
+                nat = list(_native.NativeY4M(path))
+                assert len(nat) == 3
+                for a, b in zip(py, nat):
+                    np.testing.assert_array_equal(a, b)
     frames = [rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
               for _ in range(3)]
-    for cs in ("C444", "C420jpeg"):
-        path = str(tmp_path / f"clip_{cs}.y4m")
-        write_y4m(path, frames, colorspace=cs)
-        py = list(Y4MReader(path))
-        assert len(py) == 3
-        if _native.available():
-            nat = list(_native.NativeY4M(path))
-            assert len(nat) == 3
-            for a, b in zip(py, nat):
-                np.testing.assert_array_equal(a, b)
+    path = str(tmp_path / "clip_C444.y4m")
+    write_y4m(path, frames, colorspace="C444")
     # C444 roundtrip: limited-range quantization costs a few levels
     path = str(tmp_path / "clip_C444.y4m")
     dec = list(Y4MReader(path))
