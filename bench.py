@@ -4,6 +4,17 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Input: the bundled fish sequence (reference fixtures, tests/data/) --
+consecutive frames as a stereo pair, nearest-upscaled 3x to 1920x1152 and
+cropped to 1080 rows.  Real content, unlike the round-1/2 smoothed noise:
+IRV's early-stop and the dcc outlier sparsity behave as they do on real
+footage, so the number tracks production behavior (VERDICT r2 item 3).
+
+Timing: each timed dispatch runs a `batch`-frame lax.map group; the
+headline is the MEDIAN per-group fps over `n_iters` groups (the axon
+relay's ~30 ms dispatch floor and occasional multi-hundred-ms hiccups
+make single-run means unstable; the median is what reruns reproduce).
+
 Baseline note (BASELINE.md): the reference publishes no numbers; the
 driver's north-star target is >=2x a reference-GPU fps per chip.  We pin
 the proxy baseline at 15 fps for 1080p/D=128 AD-Census + 8-view DIBR on a
@@ -11,10 +22,32 @@ reference-era GPU (documented in BASELINE.md), so vs_baseline = fps / 15.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def bench_input(cfg):
+    """1080p SBS stereo frame built from the bundled fish fixtures:
+    fish_1/fish_2 (640x384, consecutive frames of a moving scene = a real
+    stereo-like pair), nearest-upscaled 3x (disparities scale with it) and
+    cropped/tiled to (num_rows, 2*num_cols)."""
+    from stereo_to_multiview_tpu.utils import read_bmp
+    l = read_bmp(os.path.join(_HERE, "tests/data/fish_1.bmp"))
+    r = read_bmp(os.path.join(_HERE, "tests/data/fish_2.bmp"))
+
+    def fit(img):
+        img = img.repeat(3, axis=0).repeat(3, axis=1)   # 1152 x 1920
+        reps = (-(-cfg.num_rows // img.shape[0]),
+                -(-cfg.num_cols // img.shape[1]), 1)
+        img = np.tile(img, reps)
+        return img[:cfg.num_rows, :cfg.num_cols]
+
+    return np.concatenate([fit(l), fit(r)], axis=1)
 
 
 def main():
@@ -30,18 +63,7 @@ def main():
     from stereo_to_multiview_tpu.models.pipeline import process_frame
 
     cfg = HD1080_D128
-    rng = np.random.default_rng(0)
-    # Synthetic stereo with real disparity structure (shifted texture) so
-    # data-dependent stages (arms, IRV) do representative work.
-    base = rng.integers(0, 256, (cfg.num_rows, cfg.num_cols + 32, 3),
-                        dtype=np.uint8).astype(np.float32)
-    k = np.ones(7, np.float32) / 7.0
-    for ax in (0, 1):
-        base = np.apply_along_axis(
-            lambda m: np.convolve(m, k, mode="same"), ax, base)
-    left = base[:, :cfg.num_cols].astype(np.uint8)
-    right = base[:, 16:16 + cfg.num_cols].astype(np.uint8)
-    sbs = np.concatenate([left, right], axis=1)
+    sbs = bench_input(cfg)
 
     dev = jax.devices()[0]
     sbs_dev = jax.device_put(sbs, dev)
@@ -62,13 +84,15 @@ def main():
     def sync(out):
         jax.tree.map(lambda x: np.asarray(x.ravel()[0]), out)
 
-    sync(frames(sbs_dev))
-    n_iters = 5
-    t0 = time.perf_counter()
+    sync(frames(sbs_dev))       # compile + first-touch
+    sync(frames(sbs_dev))       # settle the relay
+    n_iters = 8
+    per_group = []
     for _ in range(n_iters):
+        t0 = time.perf_counter()
         sync(frames(sbs_dev))
-    dt = time.perf_counter() - t0
-    fps = n_iters * batch / dt
+        per_group.append(time.perf_counter() - t0)
+    fps = batch / float(np.median(per_group))
 
     baseline_fps = 15.0
     print(json.dumps({

@@ -7,6 +7,7 @@ Usage: python scripts/profile_band.py [--rows N --cols N --disp N] [--stage S]
 """
 
 import argparse
+import functools
 import sys
 import time
 
@@ -26,6 +27,10 @@ def main():
     ap.add_argument("--stages", default="all",
                     help="comma list: core,dcc,irv,bilateral,"
                          "arms,synth,mux,full")
+    ap.add_argument("--input", default="noise", choices=("noise", "fish"),
+                    help="fish = the bench's real-content input "
+                         "(bench.bench_input; IRV early-stop and dcc "
+                         "sparsity behave as on real footage)")
     args = ap.parse_args()
 
     import jax
@@ -42,18 +47,31 @@ def main():
                          num_disp=args.disp, zero_disp=args.disp // 2,
                          num_views=args.views)
     interp = jax.default_backend() == "cpu"
-    rng = np.random.default_rng(0)
-    base = rng.integers(0, 256, (cfg.num_rows, cfg.num_cols + 16, 3),
-                        dtype=np.uint8)
-    img_l = jax.device_put(np.ascontiguousarray(base[:, :cfg.num_cols]))
-    img_r = jax.device_put(np.ascontiguousarray(base[:, 16:]))
+    if args.input == "fish":
+        import bench
+        sbs = bench.bench_input(cfg)
+        img_l = jax.device_put(np.ascontiguousarray(
+            sbs[:, :cfg.num_cols]))
+        img_r = jax.device_put(np.ascontiguousarray(
+            sbs[:, cfg.num_cols:]))
+    else:
+        rng = np.random.default_rng(0)
+        base = rng.integers(0, 256, (cfg.num_rows, cfg.num_cols + 16, 3),
+                            dtype=np.uint8)
+        img_l = jax.device_put(np.ascontiguousarray(base[:, :cfg.num_cols]))
+        img_r = jax.device_put(np.ascontiguousarray(base[:, 16:]))
     B_N = args.batch
 
-    def timed(label, fn, *xs):
-        """fn maps one tuple of arrays -> pytree; timed over lax.map."""
+    def timed(label, fn, *xs, vmem_kib=0):
+        """fn maps one tuple of arrays -> pytree; timed over lax.map.
+        vmem_kib > 0 raises the scoped-vmem ceiling (top-level jit
+        compiler_options -- the only way through the relay)."""
         stacked = tuple(jnp.stack([x] * B_N) for x in xs)
 
-        @jax.jit
+        opts = ({"xla_tpu_scoped_vmem_limit_kib": vmem_kib}
+                if vmem_kib else None)
+
+        @functools.partial(jax.jit, compiler_options=opts)
         def run(st):
             return jax.lax.map(lambda t: fn(*t), st)
 
@@ -96,7 +114,16 @@ def main():
     print(f"precompute {time.perf_counter()-t0:.1f}s", flush=True)
 
     if W("arms"):
-        timed("cross_arms x2", lambda l, r: (
+        # the shipping TPU path (pipeline.compute_disparities band branch)
+        from stereo_to_multiview_tpu.ops.postkern import cross_arms_kern
+        timed("cross_arms_kern x2", lambda l, r: (
+            cross_arms_kern(l, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd,
+                            interpret=interp),
+            cross_arms_kern(r, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd,
+                            interpret=interp)),
+            img_l, img_r)
+    if W("armsxla"):
+        timed("cross_arms(xla) x2", lambda l, r: (
             ops.cross_arms(l, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd),
             ops.cross_arms(r, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd)),
             img_l, img_r)
@@ -119,7 +146,7 @@ def main():
         # 1080p); subtract the "cost" stage time to compare shapes
         from stereo_to_multiview_tpu.ops.costkern import ci_adcensus_kern
 
-        def agg(l, r, al, ar, rows, otile):
+        def agg(l, r, al, ar, rows, otile, digits):
             cl, cr = ci_adcensus_kern(
                 l, r, cfg.ad_coeff, cfg.census_coeff, cfg.num_disp,
                 cfg.zero_disp, quant=True, interpret=interp)
@@ -128,13 +155,14 @@ def main():
             return B.band_aggregate_q(cost, arms, cfg.usd,
                                       zero_disp=cfg.zero_disp,
                                       interpret=interp, rows=rows,
-                                      otile=otile)
-        for rows, otile in ((8, 256), (8, 512), (16, 256), (16, 512),
-                            (8, 1024)):
-            timed(f"cost+agg r{rows} t{otile}",
-                  lambda l, r, al, ar, rw=rows, ot=otile:
-                  agg(l, r, al, ar, rw, ot),
-                  img_l, img_r, arms_l, arms_r)
+                                      otile=otile, digits=digits)
+        for rows, otile, digits in ((8, 512, 2), (16, 256, 2),
+                                    (16, 512, 2), (8, 256, 1), (8, 512, 1),
+                                    (16, 512, 1), (8, 1024, 2)):
+            timed(f"cost+agg r{rows} t{otile} d{digits}",
+                  lambda l, r, al, ar, rw=rows, ot=otile, dg=digits:
+                  agg(l, r, al, ar, rw, ot, dg),
+                  img_l, img_r, arms_l, arms_r, vmem_kib=65536)
     if W("dcc"):
         from stereo_to_multiview_tpu.ops.postkern import dcc_occl_kern
         timed("dcc_occl_kern", lambda a, b: dcc_occl_kern(
@@ -164,6 +192,32 @@ def main():
         timed(f"synthesize (V={cfg.num_views})",
               lambda l, r, a, b: synthesize_views(l, r, a, b, cfg),
               img_l, img_r, disp_l, disp_r)
+    if W("synthsub"):
+        # synth substages (sum ~ synth; the merge loop is the remainder)
+        from stereo_to_multiview_tpu.ops.postkern import dcc_occl_kern
+        from stereo_to_multiview_tpu.ops.dibr import dibr_feather_mask
+        from stereo_to_multiview_tpu.ops.warpkern import dibr_warp_views_kern
+        timed("s:occl", lambda a, b: dcc_occl_kern(
+            a, b, with_labels=False, num_disp=cfg.num_disp,
+            zero_disp=cfg.zero_disp, interpret=interp), disp_l, disp_r)
+        occl_l, occl_r = dcc_occl_kern(
+            disp_l, disp_r, with_labels=False, num_disp=cfg.num_disp,
+            zero_disp=cfg.zero_disp, interpret=interp)
+        timed("s:bleed+mask x2", lambda a, b: (
+            ops.dibr_occl_to_mask(ops.filter_bleed(a, cfg.bleed_radius)),
+            ops.dibr_occl_to_mask(ops.filter_bleed(b, cfg.bleed_radius))),
+            occl_l, occl_r)
+        mask_r = ops.dibr_occl_to_mask(ops.filter_bleed(
+            occl_r, cfg.bleed_radius))
+        timed("s:feather", lambda m: dibr_feather_mask(
+            m, cfg.feather_radius, cfg.feather_sigma), mask_r)
+        shifts = tuple(float(np.float32(1.0)
+                             - np.float32(v_i)
+                             / np.float32(cfg.num_views - 1.0))
+                       for v_i in range(1, cfg.num_views - 1))
+        timed("s:warp_views", lambda l, r, a, b: dibr_warp_views_kern(
+            l, r, a, b, shifts, cfg.num_disp, cfg.zero_disp, interp),
+            img_l, img_r, disp_l, disp_r)
     if W("mux"):
         from stereo_to_multiview_tpu.models.pipeline import synthesize_views
         views = synthesize_views(img_l, img_r, disp_l, disp_r, cfg)

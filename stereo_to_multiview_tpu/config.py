@@ -69,6 +69,20 @@ class PipelineConfig:
     band_nsplit: int = 2         # bf16 split terms for float band matmuls
                                  # (2 ~ 1e-5 rel err, 3 ~ f32; IRV is exact
                                  # regardless)
+    band_digits: int = 2         # aggregation digit planes: 2 = exact
+                                 # base-256 pairs; 1 = single-digit fast
+                                 # path (one MXU dot per pass, ~4 bits of
+                                 # aggregate precision lost per rescale --
+                                 # WTA flips only at near-ties)
+    xla_agg_qscale: float = 0.0  # > 0: quantize costs to
+                                 # rint(cost*qscale) before the XLA
+                                 # engine's cumsum aggregation.  Integer
+                                 # cumsums are exact (prefix bounds
+                                 # checked at trace time), so the XLA
+                                 # engine becomes bit-deterministic under
+                                 # any halo sharding -- the exactness
+                                 # harness for parallel.halo.  0 = off
+                                 # (reference-parity f32 aggregation).
     band_row_chunk: int = 0      # stereo-core rows per streamed chunk; 0 =
                                  # whole frame at once (int16 intermediate
                                  # volumes keep 1080p under ~3 GB of HBM;

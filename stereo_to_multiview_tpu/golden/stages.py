@@ -249,19 +249,22 @@ def cross_aggregate(cost: np.ndarray, arms: np.ndarray) -> np.ndarray:
 
 
 def cross_aggregate_q(cost: np.ndarray, arms: np.ndarray,
-                      max_arm: int) -> np.ndarray:
+                      max_arm: int, digits: int = 2) -> np.ndarray:
     """Golden for the quantized band-engine aggregation
     (ops.band.band_aggregate_q): cost (D, H, W) f32 is quantized once to
     round(cost*127) integers, the four H,V,V,H half-open span passes run
     in exact integer arithmetic, and the volume is rescaled by
-    floor(x * 2^-s + 0.5) after passes 2 and 3 (shifts fixed by max_arm).
+    floor(x * 2^-s + 0.5) after passes 1, 2 and 3 (shifts fixed by
+    max_arm and the digit count; s1 = 0 on the exact digits=2 path).
     Same pass structure as cross_aggregate; the TPU kernels must match
     this bit for bit."""
     from stereo_to_multiview_tpu.ops.band import agg_rescale_shifts
-    s2, s3 = agg_rescale_shifts(max_arm)
+    s1, s2, s3 = agg_rescale_shifts(max_arm, digits)
     # quantize in f32 exactly like the kernel (tie behavior included)
     q = np.rint(cost.astype(F32) * F32(127.0)).astype(F32)
     a = _dir_sum(q, arms[LEFT], arms[RIGHT], axis=2)
+    if s1:
+        a = np.floor(a * 2.0 ** -s1 + 0.5).astype(F32)
     a = _dir_sum(a, arms[UP], arms[DOWN], axis=1)
     a = np.floor(a * 2.0 ** -s2 + 0.5).astype(F32)
     a = _dir_sum(a, arms[UP], arms[DOWN], axis=1)

@@ -44,6 +44,27 @@ def _use_band(cfg: PipelineConfig) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def xla_quant_costs(cost_l, cost_r, cfg: PipelineConfig):
+    """cfg.xla_agg_qscale > 0: integer-quantize the cost volumes so the
+    XLA engine's cumsum aggregation is exact -- and therefore
+    bit-deterministic under any halo sharding (the exactness harness for
+    parallel.halo; see tests/test_halo.py).  Every cumsum prefix must
+    stay f32-exact (< 2^24) at this geometry, checked here at trace
+    time.  qscale 0 returns the costs untouched (reference-parity f32)."""
+    if cfg.xla_agg_qscale <= 0:
+        return cost_l, cost_r
+    wmax = 2 * cfg.usd + 1
+    v = 2.0 * cfg.xla_agg_qscale              # cost <= 2
+    hh, ww = cfg.num_rows + 2 * 64, cfg.num_cols + 2 * 64
+    for axis_len in (ww, hh, hh, ww):         # H,V,V,H pass prefixes
+        if v * axis_len >= 2.0 ** 24:
+            raise ValueError("xla_agg_qscale too large for exact integer "
+                             "aggregation at this geometry")
+        v = v * wmax
+    q = lambda c: jnp.rint(c * F32(cfg.xla_agg_qscale))
+    return q(cost_l), q(cost_r)
+
+
 def compute_disparities(img_l: jnp.ndarray, img_r: jnp.ndarray,
                         cfg: PipelineConfig):
     """Stereo matching half of the pipeline: images -> refined (disp_l,
@@ -80,6 +101,7 @@ def compute_disparities(img_l: jnp.ndarray, img_r: jnp.ndarray,
         cost_l, cost_r = ops.ci_adcensus(
             img_l, img_r, cfg.ad_coeff, cfg.census_coeff,
             cfg.num_disp, cfg.zero_disp)                     # (D, H, W)
+        cost_l, cost_r = xla_quant_costs(cost_l, cost_r, cfg)
         acost_l = ops.cross_aggregate(cost_l, arms_l, max_arm=cfg.usd)
         acost_r = ops.cross_aggregate(cost_r, arms_r, max_arm=cfg.usd)
 

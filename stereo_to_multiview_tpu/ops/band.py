@@ -60,13 +60,23 @@ F32 = jnp.float32
 BF16 = jnp.bfloat16
 
 _LANE = 128   # output tile width
-_HALO = 64    # window reach beyond the tile on each side (usd <= 64)
+_HALO = 64    # max window reach beyond the tile on each side (usd <= 64)
 _ROWS = 8     # image rows per grid step
 
 # cost quantization scale: cost in [0, 2] -> integers in [0, 254]
 QSCALE = 127.0
 
 _VMEM_LIMIT = 96 * 1024 * 1024
+
+
+def _halo_for(max_arm: int) -> int:
+    """Smallest sublane-aligned window halo covering arms <= max_arm.
+    The round-2 kernels contracted a fixed 64-lane halo regardless of
+    usd; at the bench config (usd=34) that made >=35% of every
+    aggregation dot zeros by construction (VERDICT r2 item 1a)."""
+    if max_arm > _HALO:
+        raise ValueError("band kernels require max_arm (usd) <= 64")
+    return max(8, -(-max_arm // 8) * 8)
 
 
 def _terms(x, mode: str, terms: int):
@@ -100,11 +110,12 @@ def _terms(x, mode: str, terms: int):
 
 def _res_kernel(an_ref, ap_ref, vol_ref, out_ref, *, inclusive: bool,
                 mode: str, terms: int, rescale: int, wta: bool,
-                zero_disp: int, tiles: tuple, rows: int):
+                zero_disp: int, tiles: tuple, rows: int, halo: int):
     """One `rows`-row grid step over the whole padded width.
 
     an/ap: (rows, WP) i32 arms in natural layout.
-    vol: (rows, WP + 128, D) volume with a 64-column zero halo each side.
+    vol: (rows, WP + 2*halo, D) volume with a `halo`-column zero strip
+    each side (halo: smallest 8-multiple >= the arm bound).
     out: (rows, WP, D) sums, or (rows, WP) f32 disparities when `wta`.
     tiles: static ((a0, width), ...) output tiles covering [0, WP); widths
     are 128-multiples.  Wider tiles halve the per-unit instruction stream
@@ -116,10 +127,10 @@ def _res_kernel(an_ref, ap_ref, vol_ref, out_ref, *, inclusive: bool,
     for _, width in tiles:
         if width not in roffs:
             o = jax.lax.broadcasted_iota(
-                jnp.int32, (width, width + 2 * _HALO), 0)
+                jnp.int32, (width, width + 2 * halo), 0)
             i = jax.lax.broadcasted_iota(
-                jnp.int32, (width, width + 2 * _HALO), 1)
-            roffs[width] = i - _HALO - o   # offset of window pos i from o
+                jnp.int32, (width, width + 2 * halo), 1)
+            roffs[width] = i - halo - o   # offset of window pos i from o
 
     an_all = an_ref[:].T            # (WP, rows): one small relayout/step
     ap_all = ap_ref[:].T
@@ -134,7 +145,7 @@ def _res_kernel(an_ref, ap_ref, vol_ref, out_ref, *, inclusive: bool,
             else:
                 band = (roff >= -an) & (roff < ap)
             a = band.astype(BF16)                    # exact 0/1
-            x = vol_ref[r, a0:a0 + width + 2 * _HALO, :]   # (win, D)
+            x = vol_ref[r, a0:a0 + width + 2 * halo, :]   # (win, D)
             y = None
             for part, scale in _terms(x, mode, terms):
                 dot = jnp.dot(a, part, preferred_element_type=F32)
@@ -152,17 +163,19 @@ def _res_kernel(an_ref, ap_ref, vol_ref, out_ref, *, inclusive: bool,
 
 @functools.partial(jax.jit, static_argnames=(
     "inclusive", "mode", "terms", "rescale", "wta", "zero_disp", "rows",
-    "otile", "out_dtype", "interpret"))
+    "otile", "out_dtype", "halo", "interpret"))
 def _band_pass_h(vol: jnp.ndarray, arm_neg: jnp.ndarray,
                  arm_pos: jnp.ndarray, *, inclusive: bool = False,
                  mode: str = "float", terms: int = 2, rescale: int = 0,
                  wta: bool = False, zero_disp: int = 0, rows: int = _ROWS,
                  otile: int = 2 * _LANE, out_dtype=jnp.float32,
-                 interpret: bool = False) -> jnp.ndarray:
+                 halo: int = _HALO, interpret: bool = False) -> jnp.ndarray:
     """Windowed sum along axis 1 of a (H, W, D) volume (see _res_kernel).
     out_dtype int16 is valid when every output fits in [-32768, 32767]
     (the quantized pipeline's rescales guarantee it) and halves the HBM
-    traffic of the intermediate volumes."""
+    traffic of the intermediate volumes.  `halo` must cover the arm bound
+    (_halo_for(max_arm)); smaller halos shrink every window slice and
+    band matrix."""
     h, w, d = vol.shape
     wp = -(-w // _LANE) * _LANE
     hp = -(-h // rows) * rows
@@ -174,14 +187,14 @@ def _band_pass_h(vol: jnp.ndarray, arm_neg: jnp.ndarray,
         a0 += otile
     tiles = tuple(tiles)
 
-    vol = jnp.pad(vol, ((0, hp - h), (_HALO, _HALO + wp - w), (0, 0)))
+    vol = jnp.pad(vol, ((0, hp - h), (halo, halo + wp - w), (0, 0)))
     zpad = ((0, hp - h), (0, wp - w))
     an_n = jnp.pad(arm_neg.astype(jnp.int32), zpad)
     ap_n = jnp.pad(arm_pos.astype(jnp.int32), zpad)
 
     arm_spec = pl.BlockSpec((rows, wp), lambda y: (y, 0),
                             memory_space=pltpu.VMEM)
-    vol_spec = pl.BlockSpec((rows, wp + 2 * _HALO, d), lambda y: (y, 0, 0),
+    vol_spec = pl.BlockSpec((rows, wp + 2 * halo, d), lambda y: (y, 0, 0),
                             memory_space=pltpu.VMEM)
     if wta:
         out_spec = pl.BlockSpec((rows, wp), lambda y: (y, 0),
@@ -195,7 +208,8 @@ def _band_pass_h(vol: jnp.ndarray, arm_neg: jnp.ndarray,
     out = pl.pallas_call(
         functools.partial(_res_kernel, inclusive=inclusive, mode=mode,
                           terms=terms, rescale=rescale, wta=wta,
-                          zero_disp=zero_disp, tiles=tiles, rows=rows),
+                          zero_disp=zero_disp, tiles=tiles, rows=rows,
+                          halo=halo),
         grid=(hp // rows,),
         in_specs=[arm_spec, arm_spec, vol_spec],
         out_specs=out_spec,
@@ -208,25 +222,42 @@ def _band_pass_h(vol: jnp.ndarray, arm_neg: jnp.ndarray,
     return out[:h, :w]
 
 
-def _vv_kernel(an_ref, ap_ref, vol_ref, out_ref, lo_ref, hi_ref, *,
-               s2: int, s3: int, tiles: tuple, rows: int, halo_lo: int,
-               halo_hi: int):
+def _vv_kernel(an_ref, ap_ref, vol_ref, out_ref, *scratch, s2: int,
+               s3: int, tiles: tuple, rows: int, halo_lo: int,
+               halo_hi: int, halo: int, digits: int):
     """Fused passes 2+3 (the two V-passes share one window axis and one
     arm pair): pass-2 sums from the int16 volume, rescale by 2^-s2, split
     into base-256 bf16 digits held in VMEM scratch, pass-3 sums from the
     digits, rescale by 2^-s3, store int16.  Saves the intermediate
     volume's HBM round trip and one kernel launch per aggregation.
 
-    lo/hi scratch: (rows, WP + 2*_HALO, D).  halo_lo/halo_hi are the
-    scratch's zero-strip widths ([_HALO] + any width padding)."""
+    Both passes use the SAME band matrix per (tile, row) (same arms, same
+    window geometry), so the tiles are software-pipelined per row --
+    pass 3 of tile k runs right after pass 2 of tile k+1, reusing tile
+    k's band (its pass-2 digits through column a0_k + width_k + halo are
+    in scratch by then since every width >= 128 >= halo).  This halves
+    the band-build VPU work, the measured bottleneck of the issue-bound
+    kernel.
+
+    digits=2: exact base-256 digit pair (values < 2^15).  digits=1: the
+    rescales keep every value < 256, one bf16 plane, one dot per pass
+    (the fast path; final WTA precision drops ~4 bits per pass, see
+    agg_rescale_shifts).
+
+    scratch: `digits` planes of (rows, WP + 2*halo, D) bf16.  halo_lo /
+    halo_hi are the scratch's zero-strip widths ([halo] + any width
+    padding)."""
     roffs = {}
     for _, width in tiles:
         if width not in roffs:
             o = jax.lax.broadcasted_iota(
-                jnp.int32, (width, width + 2 * _HALO), 0)
+                jnp.int32, (width, width + 2 * halo), 0)
             i = jax.lax.broadcasted_iota(
-                jnp.int32, (width, width + 2 * _HALO), 1)
-            roffs[width] = i - _HALO - o
+                jnp.int32, (width, width + 2 * halo), 1)
+            roffs[width] = i - halo - o
+
+    lo_ref = scratch[0]
+    hi_ref = scratch[1] if digits == 2 else None
 
     an_all = an_ref[:].T
     ap_all = ap_ref[:].T
@@ -235,53 +266,61 @@ def _vv_kernel(an_ref, ap_ref, vol_ref, out_ref, lo_ref, hi_ref, *,
     d = lo_ref.shape[-1]
     z_lo = jnp.zeros((rows, halo_lo, d), BF16)
     z_hi = jnp.zeros((rows, halo_hi, d), BF16)
-    for ref in (lo_ref, hi_ref):
+    for ref in scratch:
         ref[:, :halo_lo, :] = z_lo
         ref[:, ref.shape[1] - halo_hi:, :] = z_hi
 
-    for a0, width in tiles:          # pass 2 -> scratch digits
-        roff = roffs[width]
-        for r in range(rows):
-            an = an_all[a0:a0 + width, r:r + 1]
-            ap = ap_all[a0:a0 + width, r:r + 1]
-            band = ((roff >= -an) & (roff < ap)).astype(BF16)
-            x = vol_ref[r, a0:a0 + width + 2 * _HALO, :]
-            y = None
-            for part, scale in _terms(x, "int", 2):
-                dot = jnp.dot(band, part, preferred_element_type=F32)
-                if scale is not None:
-                    dot = dot * scale
-                y = dot if y is None else y + dot
-            y = jnp.floor(y * F32(2.0 ** -s2) + F32(0.5))
+    def pass2(a0, width, band, r):
+        x = vol_ref[r, a0:a0 + width + 2 * halo, :]
+        y = None
+        for part, scale in _terms(x, "int", digits):
+            dot = jnp.dot(band, part, preferred_element_type=F32)
+            if scale is not None:
+                dot = dot * scale
+            y = dot if y is None else y + dot
+        y = jnp.floor(y * F32(2.0 ** -s2) + F32(0.5))
+        if digits == 2:
             hi = jnp.floor(y * F32(1.0 / 256.0))
             lo = y - hi * F32(256.0)
-            lo_ref[r, _HALO + a0:_HALO + a0 + width, :] = lo.astype(BF16)
-            hi_ref[r, _HALO + a0:_HALO + a0 + width, :] = hi.astype(BF16)
+            hi_ref[r, halo + a0:halo + a0 + width, :] = hi.astype(BF16)
+        else:
+            lo = y
+        lo_ref[r, halo + a0:halo + a0 + width, :] = lo.astype(BF16)
 
-    for a0, width in tiles:          # pass 3 <- scratch digits
-        roff = roffs[width]
-        for r in range(rows):
+    def pass3(a0, width, band, r):
+        lo = lo_ref[r, a0:a0 + width + 2 * halo, :]
+        y = jnp.dot(band, lo, preferred_element_type=F32)
+        if digits == 2:
+            hi = hi_ref[r, a0:a0 + width + 2 * halo, :]
+            y = y + jnp.dot(band, hi, preferred_element_type=F32) \
+                * F32(256.0)
+        y = jnp.floor(y * F32(2.0 ** -s3) + F32(0.5))
+        out_ref[r, a0:a0 + width, :] = y.astype(out_ref.dtype)
+
+    for r in range(rows):
+        prev = None                    # (a0, width, band) awaiting pass 3
+        for a0, width in tiles:
+            roff = roffs[width]
             an = an_all[a0:a0 + width, r:r + 1]
             ap = ap_all[a0:a0 + width, r:r + 1]
             band = ((roff >= -an) & (roff < ap)).astype(BF16)
-            lo = lo_ref[r, a0:a0 + width + 2 * _HALO, :]
-            hi = hi_ref[r, a0:a0 + width + 2 * _HALO, :]
-            y = (jnp.dot(band, lo, preferred_element_type=F32)
-                 + jnp.dot(band, hi, preferred_element_type=F32)
-                 * F32(256.0))
-            y = jnp.floor(y * F32(2.0 ** -s3) + F32(0.5))
-            out_ref[r, a0:a0 + width, :] = y.astype(out_ref.dtype)
+            pass2(a0, width, band, r)
+            if prev is not None:
+                pass3(*prev, r)
+            prev = (a0, width, band)
+        pass3(*prev, r)
 
 
 @functools.partial(jax.jit, static_argnames=("s2", "s3", "rows", "otile",
-                                             "interpret"))
+                                             "halo", "digits", "interpret"))
 def _band_pass_vv(vol: jnp.ndarray, arm_neg: jnp.ndarray,
                   arm_pos: jnp.ndarray, *, s2: int, s3: int,
                   rows: int = _ROWS, otile: int = 2 * _LANE,
+                  halo: int = _HALO, digits: int = 2,
                   interpret: bool = False) -> jnp.ndarray:
     """Both V-passes of the quantized aggregation in one kernel (see
-    _vv_kernel).  Bit-identical to two _band_pass_h(mode='int', terms=2)
-    calls with rescales s2 then s3."""
+    _vv_kernel).  Bit-identical to two _band_pass_h(mode='int',
+    terms=digits) calls with rescales s2 then s3."""
     h, w, d = vol.shape
     wp = -(-w // _LANE) * _LANE
     hp = -(-h // rows) * rows
@@ -292,27 +331,28 @@ def _band_pass_vv(vol: jnp.ndarray, arm_neg: jnp.ndarray,
         a0 += otile
     tiles = tuple(tiles)
 
-    vol = jnp.pad(vol, ((0, hp - h), (_HALO, _HALO + wp - w), (0, 0)))
+    vol = jnp.pad(vol, ((0, hp - h), (halo, halo + wp - w), (0, 0)))
     zpad = ((0, hp - h), (0, wp - w))
     an_n = jnp.pad(arm_neg.astype(jnp.int32), zpad)
     ap_n = jnp.pad(arm_pos.astype(jnp.int32), zpad)
 
     arm_spec = pl.BlockSpec((rows, wp), lambda y: (y, 0),
                             memory_space=pltpu.VMEM)
-    vol_spec = pl.BlockSpec((rows, wp + 2 * _HALO, d), lambda y: (y, 0, 0),
+    vol_spec = pl.BlockSpec((rows, wp + 2 * halo, d), lambda y: (y, 0, 0),
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((rows, wp, d), lambda y: (y, 0, 0),
                             memory_space=pltpu.VMEM)
-    scratch = pltpu.VMEM((rows, wp + 2 * _HALO, d), BF16)
+    scratch = pltpu.VMEM((rows, wp + 2 * halo, d), BF16)
 
     out = pl.pallas_call(
         functools.partial(_vv_kernel, s2=s2, s3=s3, tiles=tiles, rows=rows,
-                          halo_lo=_HALO, halo_hi=_HALO + (wp - w)),
+                          halo_lo=halo, halo_hi=halo + (wp - w),
+                          halo=halo, digits=digits),
         grid=(hp // rows,),
         in_specs=[arm_spec, arm_spec, vol_spec],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((hp, wp, d), jnp.int16),
-        scratch_shapes=[scratch, scratch],
+        scratch_shapes=[scratch] * digits,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=_VMEM_LIMIT),
@@ -323,30 +363,35 @@ def _band_pass_vv(vol: jnp.ndarray, arm_neg: jnp.ndarray,
 
 def band_span_sum_h(vol: jnp.ndarray, arm_neg: jnp.ndarray,
                     arm_pos: jnp.ndarray, inclusive: bool = False,
-                    nsplit: int = 2, interpret: bool = False) -> jnp.ndarray:
+                    nsplit: int = 2, max_arm: int = _HALO,
+                    interpret: bool = False) -> jnp.ndarray:
     """Windowed sum along axis 1 of a (H, W, D) volume.
 
     out[y, x, d] = sum_{j in win(y,x)} vol[y, j, d], win = [x - arm_neg,
     x + arm_pos) (half-open; `inclusive` closes the right end, IRV-style).
-    arm_* are (H, W) integer arrays bounded by 64 (the kernel contracts a
-    256-wide window around each 128-column tile); windows must not cross
-    the image border (cross-arm construction guarantees it).
+    arm_* are (H, W) integer arrays bounded by `max_arm` <= 64 (the
+    kernel contracts a usd-adaptive window around each tile); windows
+    must not cross the image border (cross-arm construction guarantees
+    it).
     nsplit: bf16 terms for the volume (1 = exact for small-integer
     volumes, 2 = ~1e-5 relative, 3 = ~f32).
     """
     return _band_pass_h(vol, arm_neg, arm_pos, inclusive=inclusive,
-                        mode="float", terms=nsplit, interpret=interpret)
+                        mode="float", terms=nsplit,
+                        halo=_halo_for(max_arm), interpret=interpret)
 
 
 def band_span_sum_v(vol: jnp.ndarray, arm_neg: jnp.ndarray,
                     arm_pos: jnp.ndarray, inclusive: bool = False,
-                    nsplit: int = 2, interpret: bool = False) -> jnp.ndarray:
+                    nsplit: int = 2, max_arm: int = _HALO,
+                    interpret: bool = False) -> jnp.ndarray:
     """Windowed sum along axis 0 of a (H, W, D) volume: the H kernel on a
     (W, H, D) transpose (the reference's own trick, d_ca_cross.cu:255-270;
     XLA transposes are bandwidth-bound, unlike gathers)."""
     vt = jnp.swapaxes(vol, 0, 1)
     out = band_span_sum_h(vt, arm_neg.T, arm_pos.T, inclusive=inclusive,
-                          nsplit=nsplit, interpret=interpret)
+                          nsplit=nsplit, max_arm=max_arm,
+                          interpret=interpret)
     return jnp.swapaxes(out, 0, 1)
 
 
@@ -356,56 +401,75 @@ def quantize_cost(cost: jnp.ndarray) -> jnp.ndarray:
     return jnp.rint(cost.astype(F32) * F32(QSCALE)).astype(BF16)
 
 
-def agg_rescale_shifts(max_arm: int):
-    """Power-of-2 rescale shifts (after passes 2 and 3) for the quantized
-    aggregation: the smallest shifts that keep every pass's input below
-    2^15 (int16-storable, two bf16-exact base-256 digits) and every
-    accumulation below 2^24 (f32-exact).  Smaller arms need smaller
-    shifts -> finer values.
+def agg_rescale_shifts(max_arm: int, digits: int = 2):
+    """Power-of-2 rescale shifts (s1, s2, s3: applied after passes 1, 2
+    and 3) for the quantized aggregation.
+
+    digits=2 (exact path): the smallest shifts that keep every pass's
+    input below 2^15 (int16-storable, two bf16-exact base-256 digits) and
+    every accumulation below 2^24 (f32-exact); s1 = 0.  digits=1 (fast
+    path): inputs stay below 2^8 (ONE bf16-exact digit -> one MXU dot per
+    pass), which costs ~4 bits of aggregate precision per rescale --
+    WTA flips only at near-ties (measured on the bud/fish fixtures,
+    BASELINE.md).  Smaller arms need smaller shifts -> finer values.
     """
     import math
     wmax = 2 * max_arm + 1
-    v1 = 254 * wmax                              # pass-1 output bound
-    s2 = max(0, math.ceil(math.log2(v1 * wmax / 32767.0)))
-    v2 = math.floor(v1 * wmax * 2.0 ** -s2 + 0.5)
-    s3 = max(0, math.ceil(math.log2(v2 * wmax / 32767.0)))
-    return s2, s3
+    bound = 32767.0 if digits == 2 else 255.0
+    v = 254
+    shifts = []
+    for _ in range(3):                       # after passes 1, 2, 3
+        raw = v * wmax
+        s = max(0, math.ceil(math.log2(raw / bound)))
+        shifts.append(s)
+        v = math.floor(raw * 2.0 ** -s + 0.5)
+    if digits == 2:
+        assert shifts[0] == 0
+    return tuple(shifts)
 
 
 def band_aggregate_q(cost_q: jnp.ndarray, arms: jnp.ndarray, max_arm: int,
                      zero_disp: int | None = None,
                      interpret: bool = False, rows: int = _ROWS,
-                     otile: int = 2 * _LANE) -> jnp.ndarray:
+                     otile: int = 2 * _LANE,
+                     digits: int = 2) -> jnp.ndarray:
     """Four-pass cross aggregation (live order H,V,V,H, d_ca_cross.cu:
     255-271) on a quantized (H, W, D) volume of integers <= 254 (see
     quantize_cost), with exact integer arithmetic throughout; `max_arm`
-    (= usd <= 64) bounds the windows and fixes the rescale shifts.
+    (= usd <= 64) bounds the windows (usd-adaptive halo) and fixes the
+    rescale shifts.
+
+    digits=2 (default): base-256 bf16 digit pairs, values < 2^15 -- the
+    exact path.  digits=1: stronger rescales keep every value < 2^8 so
+    each of passes 2-4 is ONE bf16 dot (half the MXU work) at ~4 bits of
+    aggregate precision per rescale (cfg.band_digits selects this;
+    WTA-flip fidelity measured on bud/fish in BASELINE.md).
 
     With zero_disp set, WTA (first-min argmin, d_dc_wta.cu:24-34) is fused
     into pass 4 and the return is the (H, W) f32 disparity map; otherwise
     the final (H, W, D) aggregated volume (exact integers at scale
-    QSCALE / 2^(s2+s3) of the reference's unit) is returned.  Either way
-    the result is bit-identical under any row chunking or sharding.
+    QSCALE / 2^(s1+s2+s3) of the reference's unit) is returned.  Either
+    way the result is bit-identical under any row chunking or sharding.
     """
     from stereo_to_multiview_tpu.ops.cross import UP, DOWN, LEFT, RIGHT
-    if max_arm > _HALO:
-        raise ValueError("band aggregation requires max_arm (usd) <= 64")
-    s2, s3 = agg_rescale_shifts(max_arm)
+    s1, s2, s3 = agg_rescale_shifts(max_arm, digits)
+    halo = _halo_for(max_arm)
     # intermediate volumes are int16: pass-1 output <= 254*129 = 32766 and
     # the rescales keep passes 2/3 below 2^15 -- half the HBM bytes of f32
     i16 = jnp.int16
-    kw = dict(rows=rows, otile=otile, interpret=interpret)
+    kw = dict(rows=rows, otile=otile, halo=halo, interpret=interpret)
     a = _band_pass_h(cost_q, arms[LEFT], arms[RIGHT], mode="int", terms=1,
-                     out_dtype=i16, **kw)
+                     rescale=s1, out_dtype=i16, **kw)
     at = jnp.swapaxes(a, 0, 1)
     at = _band_pass_vv(at, arms[UP].T, arms[DOWN].T, s2=s2, s3=s3,
-                       rows=rows, otile=otile, interpret=interpret)
+                       rows=rows, otile=otile, halo=halo, digits=digits,
+                       interpret=interpret)
     a = jnp.swapaxes(at, 0, 1)
     if zero_disp is None:
-        return _band_pass_h(a, arms[LEFT], arms[RIGHT], mode="int", terms=2,
-                            **kw)
-    return _band_pass_h(a, arms[LEFT], arms[RIGHT], mode="int", terms=2,
-                        wta=True, zero_disp=zero_disp, **kw)
+        return _band_pass_h(a, arms[LEFT], arms[RIGHT], mode="int",
+                            terms=digits, **kw)
+    return _band_pass_h(a, arms[LEFT], arms[RIGHT], mode="int",
+                        terms=digits, wta=True, zero_disp=zero_disp, **kw)
 
 
 def cross_aggregate_band(cost_hwd: jnp.ndarray, arms: jnp.ndarray,
@@ -415,9 +479,19 @@ def cross_aggregate_band(cost_hwd: jnp.ndarray, arms: jnp.ndarray,
     volume: quantize_cost then band_aggregate_q.  Returns the final
     aggregated volume (exact integers; argmin-compatible with the
     reference's f32 aggregate up to the initial 1/127 quantization and
-    the rescale rounding).  `nsplit` is accepted for API compatibility
-    and ignored (the integer path is exact)."""
-    del nsplit
+    the rescale rounding).
+
+    `nsplit` is deprecated: the quantized-integer path replaced the f32
+    bf16-split aggregation in round 2, so the output is exact integers at
+    scale QSCALE / 2^(s2+s3) rather than ~f32 reference units.  Passing a
+    non-default value warns (it used to select bf16 accuracy)."""
+    if nsplit != 2:
+        import warnings
+        warnings.warn(
+            "cross_aggregate_band(nsplit=...) is deprecated and ignored: "
+            "the aggregation is exact quantized-integer (see band.py "
+            "module docstring); output scale is QSCALE / 2^(s2+s3)",
+            DeprecationWarning, stacklevel=2)
     return band_aggregate_q(quantize_cost(cost_hwd), arms, max_arm,
                             interpret=interpret)
 
@@ -656,7 +730,7 @@ def band_aggregate_q_dm(cost2, arms_l, arms_r, *, num_disp: int,
     from stereo_to_multiview_tpu.ops.cross import UP, DOWN, LEFT, RIGHT
     if max_arm > _HALO:
         raise ValueError("band aggregation requires max_arm (usd) <= 64")
-    s2, s3 = agg_rescale_shifts(max_arm)
+    _, s2, s3 = agg_rescale_shifts(max_arm)
     d2, h, w = cost2.shape
     cparams = pltpu.CompilerParams(dimension_semantics=("parallel",),
                                    vmem_limit_bytes=_VMEM_LIMIT)
@@ -824,6 +898,7 @@ def band_stereo_core_chunked(img_l, img_r, arms_l, arms_r, cfg,
         cost = jnp.concatenate([cost_l, cost_r], axis=0)
         arms = jnp.concatenate([arms_l[:, sl], arms_r[:, sl]], axis=1)
         disp = band_aggregate_q(cost, arms, usd, zero_disp=cfg.zero_disp,
+                                digits=getattr(cfg, "band_digits", 2),
                                 interpret=interpret)
         n_valid = min(chunk, h - (start + lo))
         v = slice(lo, lo + n_valid)
@@ -921,9 +996,9 @@ def dr_irv_band(disp: jnp.ndarray, outliers: jnp.ndarray, arms: jnp.ndarray,
         onehot = (reliable[:, :, None]
                   & (dint[:, :, None] + zero_disp == bins)).astype(F32)
         row = band_span_sum_h(onehot, left, right, inclusive=True,
-                              nsplit=1, interpret=interpret)
+                              nsplit=1, max_arm=usd, interpret=interpret)
         hist = band_span_sum_v(row, up, down, inclusive=True,
-                               nsplit=1, interpret=interpret)
+                               nsplit=1, max_arm=usd, interpret=interpret)
         total = jnp.sum(hist, axis=2).astype(jnp.int32)  # = sum of all bins
 
         max_bin = hist.max(axis=2)

@@ -64,25 +64,40 @@ def _window_cost(own_img, oth_planes_pad, own_cen, oth_cen_pad, start,
 
 
 def disp_sharded_disparities(mesh: Mesh, cfg: PipelineConfig,
-                             disp_axis: str = "disp"):
+                             disp_axis: str = "disp",
+                             with_arms: bool = False):
     """Jitted (img_l, img_r) -> (disp_l, disp_r), the AD-Census stereo
     core with cost init + aggregation sharded over the D axis and WTA as
-    an argmin-with-index all-reduce.  Outputs are replicated."""
+    an argmin-with-index all-reduce.  Outputs are replicated.
+
+    Per-shard aggregation follows cfg.engine: on the band engine each
+    shard runs the quantized integer band aggregation (band_aggregate_q)
+    on its D-slice -- per-plane exact, so the all-reduce consumes exact
+    integer minima and the result is bit-identical to the unsharded
+    band core (ties stay first-min: shards are ordered by d).  The XLA
+    engine path keeps the f32 cross_aggregate (bit-identical to the
+    unsharded XLA engine).
+
+    with_arms=True: the returned fn takes (img_l, img_r, arms_l, arms_r)
+    so a caller that needs the arms later (IRV) computes them once
+    (VERDICT r2 item 7: disp_sharded_process_frame used to build them
+    twice)."""
     n = mesh.shape[disp_axis]
     if cfg.num_disp % n:
         raise ValueError(f"num_disp {cfg.num_disp} not divisible by "
                          f"disp axis size {n}")
     dloc = cfg.num_disp // n
     nd, zd, usd = cfg.num_disp, cfg.zero_disp, cfg.usd
+    from stereo_to_multiview_tpu.models.pipeline import _use_band
+    band = _use_band(cfg)
 
-    def shard_fn(img_l, img_r):
+    def shard_fn(img_l, img_r, arms_l, arms_r):
         idx = jax.lax.axis_index(disp_axis)
         d0 = idx * dloc
+        interpret = jax.default_backend() == "cpu"
 
         cen_l = ops.census_transform_9x7(ops.mux_average(img_l))
         cen_r = ops.census_transform_9x7(ops.mux_average(img_r))
-        arms_l = ops.cross_arms(img_l, cfg.ucd, cfg.lcd, usd, cfg.lsd)
-        arms_r = ops.cross_arms(img_r, cfg.ucd, cfg.lcd, usd, cfg.lsd)
 
         from stereo_to_multiview_tpu.ops.shiftops import edge_pad
         # left eye reads R at x + (d - zd), d in [d0, d0 + dloc):
@@ -101,8 +116,18 @@ def disp_sharded_disparities(mesh: Mesh, cfg: PipelineConfig,
                               cfg.ad_coeff, cfg.census_coeff,
                               ascending=False)
 
-        acost_l = ops.cross_aggregate(cost_l, arms_l, max_arm=usd)
-        acost_r = ops.cross_aggregate(cost_r, arms_r, max_arm=usd)
+        if band:
+            from stereo_to_multiview_tpu.ops.band import (
+                band_aggregate_q, quantize_cost)
+            digits = getattr(cfg, "band_digits", 2)
+            agg = lambda cost, arms: jnp.moveaxis(band_aggregate_q(
+                quantize_cost(jnp.moveaxis(cost, 0, 2)), arms, usd,
+                digits=digits, interpret=interpret), 2, 0)
+            acost_l = agg(cost_l, arms_l)
+            acost_r = agg(cost_r, arms_r)
+        else:
+            acost_l = ops.cross_aggregate(cost_l, arms_l, max_arm=usd)
+            acost_r = ops.cross_aggregate(cost_r, arms_r, max_arm=usd)
 
         def wta(acost):
             val = acost.min(axis=0)
@@ -122,9 +147,18 @@ def disp_sharded_disparities(mesh: Mesh, cfg: PipelineConfig,
     from jax import shard_map
     # check_vma off: outputs are made replicated by the all_gather+argmin
     # reduce, which the varying-axis checker cannot see through.
-    fn = shard_map(shard_fn, mesh=mesh, in_specs=(P(), P()),
+    fn = shard_map(shard_fn, mesh=mesh, in_specs=(P(),) * 4,
                    out_specs=(P(), P()), check_vma=False)
-    return jax.jit(fn)
+    if with_arms:
+        return jax.jit(fn)
+
+    @jax.jit
+    def fn_noarms(img_l, img_r):
+        arms_l = ops.cross_arms(img_l, cfg.ucd, cfg.lcd, usd, cfg.lsd)
+        arms_r = ops.cross_arms(img_r, cfg.ucd, cfg.lcd, usd, cfg.lsd)
+        return fn(img_l, img_r, arms_l, arms_r)
+
+    return fn_noarms
 
 
 def disp_sharded_process_frame(mesh: Mesh, cfg: PipelineConfig,
@@ -132,15 +166,15 @@ def disp_sharded_process_frame(mesh: Mesh, cfg: PipelineConfig,
     """Full SBS -> (disp_l, disp_r, interlaced) pipeline with the stereo
     core D-sharded (BASELINE config 3).  Refinement + synthesis run
     replicated (they are O(H*W), not O(H*W*D) -- the core dominates)."""
-    core = disp_sharded_disparities(mesh, cfg, disp_axis)
+    core = disp_sharded_disparities(mesh, cfg, disp_axis, with_arms=True)
 
     @jax.jit
     def fn(sbs):
         from stereo_to_multiview_tpu.models.pipeline import synthesize_views
         img_l, img_r = ops.demux_sbs(sbs)
-        disp_l, disp_r = core(img_l, img_r)
         arms_l = ops.cross_arms(img_l, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd)
         arms_r = ops.cross_arms(img_r, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd)
+        disp_l, disp_r = core(img_l, img_r, arms_l, arms_r)
         out_l, out_r = ops.dr_dcc(disp_l, disp_r, cfg.dcc_thresh,
                                   num_disp=cfg.num_disp,
                                   zero_disp=cfg.zero_disp)

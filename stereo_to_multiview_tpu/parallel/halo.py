@@ -183,9 +183,12 @@ def halo_process_frame(mesh: Mesh, cfg: PipelineConfig,
             disp_l, disp_r = band_stereo_core_chunked(
                 ext_l, ext_r, arms_l, arms_r, cfg, interpret)
         else:
+            from stereo_to_multiview_tpu.models.pipeline import (
+                xla_quant_costs)
             cost_l, cost_r = ops.ci_adcensus(
                 ext_l, ext_r, cfg.ad_coeff, cfg.census_coeff,
                 cfg.num_disp, cfg.zero_disp)
+            cost_l, cost_r = xla_quant_costs(cost_l, cost_r, cfg)
             acost_l = ops.cross_aggregate(cost_l, arms_l, max_arm=usd)
             acost_r = ops.cross_aggregate(cost_r, arms_r, max_arm=usd)
             disp_l = ops.dc_wta(acost_l, cfg.zero_disp)

@@ -84,6 +84,32 @@ def test_cross_aggregate_band_matches_quantized_golden(stereo_pair):
     np.testing.assert_array_equal(np.moveaxis(ref, 0, 2), _np(out))
 
 
+def test_band_aggregate_q_single_digit_matches_golden(stereo_pair):
+    """The single-digit fast path (band_digits=1: every value rescaled
+    below 2^8, one MXU dot per pass) is bit-exact against the NumPy
+    golden run with the same shifts, and its fused WTA flips only at
+    near-ties vs the exact digits=2 path."""
+    from stereo_to_multiview_tpu.golden import stages as G
+    from stereo_to_multiview_tpu.ops.band import (band_aggregate_q,
+                                                  quantize_cost)
+    left, _ = stereo_pair
+    img = jnp.asarray(left)
+    usd, lsd, zd = 9, 4, 6
+    arms = ops.cross_arms(img, 6.0, 20.0, usd, lsd)
+    cost_dhw, _ = ops.ci_adcensus(img, jnp.asarray(np.roll(left, -2, 1)),
+                                  10.0, 30.0, 12, zd)
+    q = quantize_cost(jnp.moveaxis(cost_dhw, 0, 2))
+    ref = G.cross_aggregate_q(_np(cost_dhw), _np(arms), usd, digits=1)
+    out = band_aggregate_q(q, arms, usd, digits=1, interpret=True)
+    np.testing.assert_array_equal(np.moveaxis(ref, 0, 2), _np(out))
+
+    d1 = band_aggregate_q(q, arms, usd, zero_disp=zd, digits=1,
+                          interpret=True)
+    d2 = band_aggregate_q(q, arms, usd, zero_disp=zd, digits=2,
+                          interpret=True)
+    assert np.mean(_np(d1) != _np(d2)) < 0.03
+
+
 def test_quantized_agg_argmin_close_to_f32(stereo_pair):
     """Quantization (1/127 cost units + two bounded rescale roundings)
     flips the WTA argmin only at near-ties -- the disparity maps stay

@@ -61,6 +61,43 @@ def test_disp_sharded_wta_exact():
     np.testing.assert_array_equal(np.asarray(ref_r), np.asarray(out_r))
 
 
+def test_disp_sharded_band_core_exact():
+    """D-sharded quantized band aggregation (each shard runs
+    band_aggregate_q on its D-slice; the all-reduce consumes exact
+    integer minima) is bit-identical to the unsharded band stereo core
+    (VERDICT r2 item 7)."""
+    import jax
+    import jax.numpy as jnp
+    from stereo_to_multiview_tpu import ops
+    from stereo_to_multiview_tpu.config import PipelineConfig
+    from stereo_to_multiview_tpu.ops.band import band_stereo_core_chunked
+    from stereo_to_multiview_tpu.parallel import (make_mesh,
+                                                  disp_sharded_disparities)
+    rng = np.random.default_rng(23)
+    h, w, nd, zd = 48, 64, 8, 4
+    base = rng.integers(0, 256, (h, w + 6, 3)).astype(np.float32)
+    k = np.ones(3) / 3.0
+    for ax in (0, 1):
+        base = np.apply_along_axis(
+            lambda m: np.convolve(m, k, mode="same"), ax, base)
+    left = base[:, :w].astype(np.uint8)
+    right = base[:, 3:3 + w].astype(np.uint8)
+
+    cfg = PipelineConfig(num_rows=h, num_cols=w, num_rows_out=h,
+                         num_cols_out=w, num_disp=nd, zero_disp=zd,
+                         usd=6, lsd=3, engine="band")
+    l, r = jnp.asarray(left), jnp.asarray(right)
+    arms_l = ops.cross_arms(l, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd)
+    arms_r = ops.cross_arms(r, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd)
+    ref_l, ref_r = band_stereo_core_chunked(l, r, arms_l, arms_r, cfg,
+                                            interpret=True)
+
+    mesh = make_mesh((4,), ("disp",), jax.devices()[:4])
+    out_l, out_r = disp_sharded_disparities(mesh, cfg)(l, r)
+    np.testing.assert_array_equal(np.asarray(ref_l), np.asarray(out_l))
+    np.testing.assert_array_equal(np.asarray(ref_r), np.asarray(out_r))
+
+
 def test_disp_sharded_process_frame_matches_single():
     """Full D-sharded pipeline vs the single-device XLA pipeline."""
     import jax

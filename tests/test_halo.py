@@ -55,31 +55,24 @@ def test_halo_process_frame_matches_single(mesh):
     right = base[:, 4:4 + w].astype(np.uint8)
     sbs = np.concatenate([left, right], axis=1)
 
+    # xla_agg_qscale: integer-quantized costs make the cumsum aggregation
+    # exact, so the shard's prefix origin cannot perturb any aggregate --
+    # the halo path must then match the single-device graph BIT FOR BIT
+    # (every other stage is stencil- or integer-exact given correct
+    # halos).  This replaces the round-2 6%/10% allowances that could
+    # have hidden a one-row halo bug (VERDICT r2 item 6).
     cfg = PipelineConfig(num_rows=h, num_cols=w, num_rows_out=h,
                          num_cols_out=w, num_disp=8, zero_disp=4,
                          usd=7, lsd=3, irv_iterations=2,
                          bilateral_radius=2, feather_radius=3,
-                         num_views=4, engine="xla")
+                         num_views=4, engine="xla", xla_agg_qscale=8.0)
 
     ref_dl, ref_dr, ref_il = map(np.asarray, process_frame(sbs, cfg))
     fn = halo_process_frame(mesh, cfg)
     out_dl, out_dr, out_il = map(np.asarray, fn(sbs))
-
-    # The shard's cumsum prefix starts at the halo edge, so aggregated
-    # costs differ in the last ulps and WTA can flip on exact near-ties
-    # (measured ~0.1% at this size); IRV voting amplifies flips a few x.
-    # Structural halo bugs would instead mismatch en masse and/or
-    # concentrate at shard boundaries.
-    n_dev, rows_loc = 4, h // 4
-    for ref, out in ((ref_dl, out_dl), (ref_dr, out_dr)):
-        neq = ref != out
-        assert neq.mean() < 0.06, neq.mean()
-        # boundary rows no worse than ~the global rate (structural check)
-        b_rows = sorted({r for i in range(1, n_dev)
-                         for r in (i * rows_loc - 1, i * rows_loc)})
-        assert neq[b_rows].mean() < 10 * max(neq.mean(), 1e-3)
-    frac = np.mean(ref_il != out_il)
-    assert frac < 0.10, frac
+    np.testing.assert_array_equal(ref_dl, out_dl)
+    np.testing.assert_array_equal(ref_dr, out_dr)
+    np.testing.assert_array_equal(ref_il, out_il)
 
 
 def test_halo_view_sharded_matches_row_only(mesh):
