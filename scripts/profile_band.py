@@ -115,12 +115,9 @@ def main():
 
     if W("arms"):
         # the shipping TPU path (pipeline.compute_disparities band branch)
-        from stereo_to_multiview_tpu.ops.postkern import cross_arms_kern
-        timed("cross_arms_kern x2", lambda l, r: (
-            cross_arms_kern(l, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd,
-                            interpret=interp),
-            cross_arms_kern(r, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd,
-                            interpret=interp)),
+        from stereo_to_multiview_tpu.ops.postkern import cross_arms_kern_lr
+        timed("cross_arms_kern_lr", lambda l, r: cross_arms_kern_lr(
+            l, r, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd, interpret=interp),
             img_l, img_r)
     if W("armsxla"):
         timed("cross_arms(xla) x2", lambda l, r: (
@@ -138,6 +135,11 @@ def main():
     if W("cost"):
         from stereo_to_multiview_tpu.ops.costkern import ci_adcensus_kern
         timed("ci_adcensus_kern", lambda l, r: ci_adcensus_kern(
+            l, r, cfg.ad_coeff, cfg.census_coeff, cfg.num_disp,
+            cfg.zero_disp, quant=True, interpret=interp), img_l, img_r)
+    if W("costxm"):
+        from stereo_to_multiview_tpu.ops.costkern import ci_adcensus_kern_xm
+        timed("ci_adcensus_kern_xm", lambda l, r: ci_adcensus_kern_xm(
             l, r, cfg.ad_coeff, cfg.census_coeff, cfg.num_disp,
             cfg.zero_disp, quant=True, interpret=interp), img_l, img_r)
     if W("aggsweep"):
@@ -203,10 +205,10 @@ def main():
         occl_l, occl_r = dcc_occl_kern(
             disp_l, disp_r, with_labels=False, num_disp=cfg.num_disp,
             zero_disp=cfg.zero_disp, interpret=interp)
-        timed("s:bleed+mask x2", lambda a, b: (
-            ops.dibr_occl_to_mask(ops.filter_bleed(a, cfg.bleed_radius)),
-            ops.dibr_occl_to_mask(ops.filter_bleed(b, cfg.bleed_radius))),
-            occl_l, occl_r)
+        from stereo_to_multiview_tpu.ops.postkern import (
+            filter_bleed_mask_kern)
+        timed("s:bleed+mask kern", lambda a, b: filter_bleed_mask_kern(
+            a, b, cfg.bleed_radius, interp), occl_l, occl_r)
         mask_r = ops.dibr_occl_to_mask(ops.filter_bleed(
             occl_r, cfg.bleed_radius))
         timed("s:feather", lambda m: dibr_feather_mask(

@@ -66,6 +66,10 @@ def main():
     ap.add_argument("--ici-gbps", type=float, default=45.0,
                     help="ICI GB/s per link per direction (v5e)")
     ap.add_argument("--hop-us", type=float, default=1.0)
+    ap.add_argument("--engine", default="band", choices=("band", "xla"),
+                    help="band = the shipping TPU engine (Pallas kernels "
+                         "compile in interpret mode on the CPU mesh; the "
+                         "ppermutes are in the same shard graph)")
     args = ap.parse_args()
 
     os.environ["XLA_FLAGS"] = (
@@ -81,7 +85,7 @@ def main():
     cfg = PipelineConfig(
         num_rows=args.rows, num_cols=args.cols, num_rows_out=args.rows,
         num_cols_out=args.cols, num_disp=args.disp,
-        zero_disp=args.disp // 2, num_views=args.views, engine="xla")
+        zero_disp=args.disp // 2, num_views=args.views, engine=args.engine)
     mesh = make_mesh((args.devices,), ("row",),
                      jax.devices()[:args.devices])
     fn = halo_process_frame(mesh, cfg)
@@ -92,20 +96,29 @@ def main():
     total_b = sum(b for _, b in stats.values())
     n_coll = sum(c for c, _ in stats.values())
     print(f"config {args.rows}x{args.cols}/D{args.disp}/V{args.views}, "
-          f"{args.devices}-device row mesh (halo path, XLA engine):")
+          f"{args.devices}-device row mesh (halo path, "
+          f"{args.engine} engine):")
     for kind, (cnt, b) in sorted(stats.items()):
         print(f"  {kind:20s} x{cnt:3d}  {b / 1e6:8.2f} MB/frame/device")
     print(f"  TOTAL                    {total_b / 1e6:8.2f} MB/frame/device")
 
     t1 = args.t1_ms
     if t1 is None:
+        import glob
         import json
-        try:
-            with open("BENCH_r01.json") as f:
-                t1 = 1e3 / json.load(f)["value"]
-        except Exception:
-            t1 = 420.0
+        t1 = 420.0
+        for p in sorted(glob.glob("BENCH_r0*.json")):
+            try:
+                with open(p) as f:
+                    d = json.load(f)
+                t1 = 1e3 / d.get("parsed", d)["value"]   # driver wrapper
+            except Exception:
+                pass
     bw = args.ici_gbps * 1e9
+    # NOTE: the projection assumes perfect compute scaling (T1/n) -- it is
+    # an upper bound on efficiency loss from communication only; the
+    # per-shard halo recompute overhead is measured separately
+    # (BASELINE.md halo row).
     for n in (2, 4, 8, 16):
         # halo widths are fixed by the stencils, so bytes/device do not
         # grow with n (until shards shrink below the halo, which

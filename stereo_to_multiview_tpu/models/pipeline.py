@@ -75,11 +75,11 @@ def compute_disparities(img_l: jnp.ndarray, img_r: jnp.ndarray,
 
     with stage_scope("ca_cross_arms"):
         if band and cfg.usd <= 64:
-            from stereo_to_multiview_tpu.ops.postkern import cross_arms_kern
-            arms_l = cross_arms_kern(img_l, cfg.ucd, cfg.lcd, cfg.usd,
-                                     cfg.lsd, interpret=interpret)
-            arms_r = cross_arms_kern(img_r, cfg.ucd, cfg.lcd, cfg.usd,
-                                     cfg.lsd, interpret=interpret)
+            from stereo_to_multiview_tpu.ops.postkern import (
+                cross_arms_kern_lr)
+            arms_l, arms_r = cross_arms_kern_lr(
+                img_l, img_r, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd,
+                interpret=interpret)
         else:
             arms_l = ops.cross_arms(img_l, cfg.ucd, cfg.lcd, cfg.usd,
                                     cfg.lsd)
@@ -192,10 +192,16 @@ def synthesize_views(img_l, img_r, disp_l, disp_r, cfg: PipelineConfig):
             occl_l, occl_r = ops.dibr_occl(disp_l, disp_r,
                                            num_disp=cfg.num_disp,
                                            zero_disp=cfg.zero_disp)
-        occl_l = ops.filter_bleed(occl_l, cfg.bleed_radius)
-        occl_r = ops.filter_bleed(occl_r, cfg.bleed_radius)
-        mask_l = ops.dibr_occl_to_mask(occl_l)
-        mask_r = ops.dibr_occl_to_mask(occl_r)
+        if band and cfg.bleed_radius == 1:
+            from stereo_to_multiview_tpu.ops.postkern import (
+                filter_bleed_mask_kern)
+            mask_l, mask_r = filter_bleed_mask_kern(
+                occl_l, occl_r, cfg.bleed_radius, interpret)
+        else:
+            mask_l = ops.dibr_occl_to_mask(
+                ops.filter_bleed(occl_l, cfg.bleed_radius))
+            mask_r = ops.dibr_occl_to_mask(
+                ops.filter_bleed(occl_r, cfg.bleed_radius))
 
     with stage_scope("dibr_feather"):
         feathered = ops.dibr.dibr_feather_mask(

@@ -228,6 +228,129 @@ def ci_adcensus_kern_stacked(img_l: jnp.ndarray, img_r: jnp.ndarray,
     return out[:, :h, :w]
 
 
+# ---------------------------------------------------------------------------
+# x-major cost kernel (round 3).
+#
+# The row-major kernel above reads the other eye's window at x + (d - zd)
+# with a lane roll + select per (d, plane): ~15 small ops per disparity on
+# (16, 128) operands -- measured 6x off the VPU elem-op floor at 1080p
+# (issue-bound on per-instruction overhead).  Transposing every plane to
+# (W, H) puts the disparity window on the SUBLANE axis, where arbitrary
+# static offsets are free: one slice per (d, plane), and all arithmetic
+# runs on (128, 128) operands (8x the elements per instruction).
+# ---------------------------------------------------------------------------
+
+_XT = 128    # x sublanes per grid step (window = 3 consecutive blocks)
+_YL = 128    # image rows per grid step (lane axis)
+
+
+def _cost_kernel_xm(*refs, num_disp: int, zero_disp: int, sign: int,
+                    inv_ad: float, inv_cen: float, quant: bool):
+    """One (128-x, 128-row) step for ONE eye.  refs: own b/g/r + census
+    w0/w1 center blocks (5 x (XT, YL) i32), then the other eye's 5 planes
+    as 3 consecutive x-blocks each (15 refs); out (D, XT, YL).
+    sign=+1: left eye (reads other at x + (d - zd)); -1: right."""
+    own = [r_[:] for r_ in refs[:5]]
+    oth = [jnp.concatenate([refs[5 + 3 * p][:], refs[6 + 3 * p][:],
+                            refs[7 + 3 * p][:]], axis=0)
+           for p in range(5)]                       # 5 x (3*XT, YL)
+    out_ref = refs[20]
+    third = F32(0.33333333333)
+    for d in range(num_disp):
+        off = _XT + sign * (d - zero_disp)
+        ad = (jnp.abs(own[0] - oth[0][off:off + _XT])
+              + jnp.abs(own[1] - oth[1][off:off + _XT])
+              + jnp.abs(own[2] - oth[2][off:off + _XT]))
+        ham = (_popcount(own[3] ^ oth[3][off:off + _XT])
+               + _popcount(own[4] ^ oth[4][off:off + _XT]))
+        cost = ((F32(1.0) - jnp.exp(-(ad.astype(F32) * third) * inv_ad))
+                + (F32(1.0) - jnp.exp(-ham.astype(F32) * inv_cen)))
+        if quant:
+            cost = jnp.rint(cost * F32(_QSCALE))
+        out_ref[d] = cost.astype(out_ref.dtype)
+
+
+def _cost_planes_xm(img_l, img_r, h, w, hp, wp):
+    """Transposed (W + 2*_XT, HP) i32 planes, own-eye order l then r:
+    b, g, r, census w0, w1 per eye.  Same clamp-to-edge padding as
+    _cost_planes, on swapped axes."""
+    from stereo_to_multiview_tpu.ops.cost import census_transform_9x7
+    from stereo_to_multiview_tpu.ops.mux import mux_average
+
+    cen_l = census_transform_9x7(mux_average(img_l))
+    cen_r = census_transform_9x7(mux_average(img_r))
+
+    def planes(img, cen):
+        ps = [img[:, :, c].astype(jnp.int32) for c in range(3)]
+        ps += [cen[:, :, k].astype(jnp.int32) for k in range(2)]
+        out = []
+        for p in ps:
+            p = p.T                                      # (W, H)
+            p = jnp.pad(p, ((0, 0), (0, hp - h)), mode="edge")
+            p = jnp.pad(p, ((_XT, _XT + wp - w), (0, 0)), mode="edge")
+            out.append(p)
+        return out
+
+    return planes(img_l, cen_l) + planes(img_r, cen_r)
+
+
+@functools.partial(jax.jit, static_argnames=("num_disp", "zero_disp",
+                                             "ad_coeff", "census_coeff",
+                                             "quant", "interpret"))
+def ci_adcensus_kern_xm(img_l: jnp.ndarray, img_r: jnp.ndarray,
+                        ad_coeff: float, census_coeff: float,
+                        num_disp: int, zero_disp: int, quant: bool = True,
+                        interpret: bool = False):
+    """(H, W, 3) u8 pair -> ((H, W, D), (H, W, D)) cost volumes via the
+    x-major kernel -- bit-identical to ci_adcensus_kern (same integer
+    AD/census arithmetic, same f32 exp combine, layout only).
+
+    Requires max(zero_disp, num_disp - zero_disp) <= 128 (one x-block of
+    window reach each side)."""
+    if num_disp > 128 or zero_disp > 128:
+        raise ValueError("ci_adcensus_kern supports num_disp/zero_disp "
+                         "<= 128")
+    h, w = img_l.shape[:2]
+    hp = -(-h // _YL) * _YL
+    wp = -(-w // _XT) * _XT
+    args = _cost_planes_xm(img_l, img_r, h, w, hp, wp)
+    grid = (wp // _XT, hp // _YL)
+
+    own_spec = pl.BlockSpec((_XT, _YL), lambda x, y: (x + 1, y),
+                            memory_space=pltpu.VMEM)
+    oth_specs = [pl.BlockSpec((_XT, _YL), lambda x, y, d=d: (x + d, y),
+                              memory_space=pltpu.VMEM)
+                 for d in range(3)]
+    out_spec = pl.BlockSpec((num_disp, _XT, _YL), lambda x, y: (0, x, y),
+                            memory_space=pltpu.VMEM)
+    out_dt = jnp.bfloat16 if quant else jnp.float32
+
+    outs = []
+    for eye, sign in (("l", 1), ("r", -1)):
+        own = args[:5] if eye == "l" else args[5:]
+        oth = args[5:] if eye == "l" else args[:5]
+        in_refs = own + [p for p in oth for _ in range(3)]
+        in_specs = [own_spec] * 5 + [oth_specs[d] for _ in range(5)
+                                     for d in range(3)]
+        vol = pl.pallas_call(
+            functools.partial(_cost_kernel_xm, num_disp=num_disp,
+                              zero_disp=zero_disp, sign=sign,
+                              inv_ad=float(1.0 / ad_coeff),
+                              inv_cen=float(1.0 / census_coeff),
+                              quant=quant),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((num_disp, wp, hp), out_dt),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")),
+            interpret=interpret,
+        )(*in_refs)
+        # (D, W, H) -> (H, W, D): one bandwidth-bound XLA relayout
+        outs.append(jnp.transpose(vol, (2, 1, 0))[:h, :w])
+    return outs[0], outs[1]
+
+
 @functools.partial(jax.jit, static_argnames=("num_disp", "zero_disp",
                                              "ad_coeff", "census_coeff",
                                              "quant", "interpret",

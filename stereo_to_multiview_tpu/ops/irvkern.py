@@ -49,8 +49,13 @@ _HPAD = 64    # H padding of the row-span volume (vote window reach)
 
 
 def _rowspan_kernel(disp_ref, outl_ref, al_ref, ar_ref, out_ref,
-                    *, num_disp: int, zero_disp: int):
+                    *, num_disp: int, zero_disp: int, reach: int):
     """One (32-row, 256-column) step: out (256x, 32row, B) bf16 row spans.
+
+    `reach` is the usd-adaptive window radius (8-multiple >= usd <= 64):
+    only the columns [x0-reach, x0+_XTILE+reach) of the padded span feed
+    the contraction (the lane-dim loads stay 128-granular; the shrink is
+    in the sublane-sliced transposes and the band/one-hot matrices).
 
     (No per-block skip here: Mosaic cannot lower the middle-index 3D
     store's vector reshape inside a pl.when region -- "unsupported shape
@@ -58,21 +63,19 @@ def _rowspan_kernel(disp_ref, outl_ref, al_ref, ar_ref, out_ref,
     """
     s = pl.program_id(1)
     base = pl.multiple_of(s * _XTILE, _LANE)
-    # vote windows reach at most +-usd <= 64, so only the columns
-    # [x0-64, x0+_XTILE+64) of the padded span feed the contraction
-    win = _XTILE + _LANE
-    d_win = disp_ref[:, pl.ds(base, win + _LANE)]      # (R, win+128)
-    o_win = outl_ref[:, pl.ds(base, win + _LANE)]
+    win = _XTILE + 2 * reach
+    d_win = disp_ref[:, pl.ds(base, _XTILE + 2 * _LANE)]   # (R, X+256)
+    o_win = outl_ref[:, pl.ds(base, _XTILE + 2 * _LANE)]
     # output-pixel arms, sublane-oriented
     an_t = al_ref[:, pl.ds(base + _PAD, _XTILE)].T     # (Xx, R)
     ap_t = ar_ref[:, pl.ds(base + _PAD, _XTILE)].T
-    half = _LANE // 2
-    d_t = d_win.T[half:half + win]                     # (win_i, R)
-    o_t = o_win.T[half:half + win]
+    lo = _LANE - reach
+    d_t = d_win.T[lo:lo + win]                         # (win_i, R)
+    o_t = o_win.T[lo:lo + win]
 
     o = jax.lax.broadcasted_iota(jnp.int32, (_XTILE, win), 0)
     i = jax.lax.broadcasted_iota(jnp.int32, (_XTILE, win), 1)
-    r_off = i - half - o
+    r_off = i - reach - o
     b_iota = jax.lax.broadcasted_iota(jnp.int32, (win, num_disp), 1)
 
     for r in range(_ROWS):
@@ -88,23 +91,24 @@ def _rowspan_kernel(disp_ref, outl_ref, al_ref, ar_ref, out_ref,
 
 def _vote_kernel(vflags_ref, rs_ref, au_ref, ad_ref,
                  win_ref, max_ref, tot_ref, *, num_disp: int, n_hseg: int,
-                 hp: int):
+                 hp: int, reach: int):
     """One 8-W-row grid step in the (W, H, B) layout: vertical inclusive
     span + in-kernel histogram reduction, looping the H tiles in-kernel
-    on a resident (8, H + 128, B) block.  rs_ref's first/last 64 H
-    columns are unwritten padding; they are masked before the dot.
-    Skipped H tiles (no outlier among their output pixels) write zero
-    totals (never accepted)."""
+    on a resident (8, H + 128, B) block.  `reach` is the usd-adaptive
+    window radius (<= _HPAD); rs_ref's first/last 64 H columns are
+    unwritten padding, masked before the dot.  Skipped H tiles (no
+    outlier among their output pixels) write zero totals (never
+    accepted)."""
     b = pl.program_id(0)
 
     au_all = au_ref[:].T                 # (hp, VROWS)
     ad_all = ad_ref[:].T
 
-    half = _LANE // 2
-    o = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 2 * _LANE), 0)
-    i = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 2 * _LANE), 1)
-    r_off = i - half - o
-    j = jax.lax.broadcasted_iota(jnp.int32, (2 * _LANE, 1), 0)
+    win = _LANE + 2 * reach
+    o = jax.lax.broadcasted_iota(jnp.int32, (_LANE, win), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (_LANE, win), 1)
+    r_off = i - reach - o
+    j = jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0)
 
     for s in range(n_hseg):
         a0 = s * _LANE
@@ -112,13 +116,14 @@ def _vote_kernel(vflags_ref, rs_ref, au_ref, ad_ref,
 
         @pl.when(flag != 0)
         def _compute(s=s, a0=a0):
+            x0 = a0 + _HPAD - reach      # window start inside rs_ref
             for r in range(_VROWS):
                 an = au_all[a0:a0 + _LANE, r:r + 1]
                 ap = ad_all[a0:a0 + _LANE, r:r + 1]
                 band = ((r_off >= -an) & (r_off <= ap)).astype(BF16)
-                x = rs_ref[r, a0:a0 + 2 * _LANE, :]
+                x = rs_ref[r, x0:x0 + win, :]
                 if s == 0 or s == n_hseg - 1:
-                    valid = ((a0 + j >= _HPAD) & (a0 + j < _HPAD + hp))
+                    valid = ((x0 + j >= _HPAD) & (x0 + j < _HPAD + hp))
                     x = jnp.where(valid, x, jnp.zeros_like(x))
                 hist = jnp.dot(band, x, preferred_element_type=F32)
                 tot_ref[r, a0:a0 + _LANE] = jnp.sum(hist, axis=1)
@@ -147,6 +152,7 @@ def irv_round_kern(disp: jnp.ndarray, outliers: jnp.ndarray,
     from stereo_to_multiview_tpu.ops.cross import UP, DOWN, LEFT, RIGHT
     if usd > _LANE // 2:
         raise ValueError("usd must be <= 64 (256-wide kernel windows)")
+    reach = max(8, -(-usd // 8) * 8)     # usd-adaptive window radius
     # bins padded to a full 128-lane tile: Mosaic (current toolchain)
     # rejects the rowspan's middle-index bf16 store at narrower lane
     # widths ("unsupported shape cast").  Pad bins never match a
@@ -187,7 +193,7 @@ def irv_round_kern(disp: jnp.ndarray, outliers: jnp.ndarray,
     hoff = _HPAD // _ROWS
     rs = pl.pallas_call(
         functools.partial(_rowspan_kernel, num_disp=num_bins,
-                          zero_disp=zero_disp),
+                          zero_disp=zero_disp, reach=reach),
         grid=(n_yb, n_xt),
         in_specs=[row_spec] * 4,
         out_specs=pl.BlockSpec((_XTILE, _ROWS, num_bins),
@@ -212,7 +218,7 @@ def irv_round_kern(disp: jnp.ndarray, outliers: jnp.ndarray,
                             memory_space=pltpu.VMEM)
     win_t, max_t, tot_t = pl.pallas_call(
         functools.partial(_vote_kernel, num_disp=num_bins, n_hseg=n_hseg,
-                          hp=hp),
+                          hp=hp, reach=reach),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_xb,),

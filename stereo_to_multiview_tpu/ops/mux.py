@@ -118,7 +118,7 @@ def _mux_interlace(views, num_rows_out, num_cols_out, y_mod, inv_y, ty):
     array normally -- the view pattern folds to compile-time constants --
     or a traced global index in the halo-sharded path)."""
     import numpy as np
-    v_cnt = views.shape[0]
+    v_cnt, h_in, w_in = views.shape[:3]
     tx = jnp.arange(num_cols_out)
     y_view = ((ty % y_mod).astype(jnp.float32) + np.float32(1.0)) \
         * np.float32(v_cnt) * inv_y
@@ -134,14 +134,26 @@ def _mux_interlace(views, num_rows_out, num_cols_out, y_mod, inv_y, ty):
     # res (every BASELINE config, incl. 4K -> 16 views), the bilinear
     # resample is the identity (weights collapse to (1, 0); u8 values are
     # f32-exact), so the V full-frame resizes are skipped outright --
-    # the interlace is then a pure V-way select.
-    from stereo_to_multiview_tpu.ops.scale import resize_bilinear_f32
+    # the interlace is then a pure V-way select.  Non-identity
+    # resolutions resample all V views in ONE batched einsum pair (one
+    # MXU matmul per axis with V x 3 riding the batch dims, not 2V
+    # chained ops); the remaining V-factor vs the reference's
+    # one-gather-per-subpixel (d_mux_multiview.cu:57-82) is the price of
+    # a gather-free formulation and applies to no BASELINE config.
     identity = (views.shape[1], views.shape[2]) == (num_rows_out,
                                                     num_cols_out)
+    if identity:
+        sampled_all = views
+    else:
+        from stereo_to_multiview_tpu.ops.scale import _linear_matrix
+        hp = __import__("jax").lax.Precision.HIGHEST
+        mx = jnp.asarray(_linear_matrix(num_cols_out, w_in))
+        my = jnp.asarray(_linear_matrix(num_rows_out, h_in))
+        a = jnp.einsum("vhwc,wW->vhWc", views.astype(F32), mx,
+                       precision=hp)
+        a = jnp.einsum("vhWc,hH->vHWc", a, my, precision=hp)
+        sampled_all = a.astype(jnp.uint8)
     out = jnp.zeros((num_rows_out, num_cols_out, 3), jnp.uint8)
     for v in range(v_cnt):
-        mask = view_id == v
-        sampled = views[v] if identity else resize_bilinear_f32(
-            views[v], num_rows_out, num_cols_out).astype(jnp.uint8)
-        out = jnp.where(mask, sampled, out)
+        out = jnp.where(view_id == v, sampled_all[v], out)
     return out

@@ -153,6 +153,15 @@ def _arms_kernel(row0_ref, b0, b1, b2, up_ref, dn_ref, *, usd: int,
     value is written before the color test, so arm = sum_k [in_bounds(k)
     and no color failure at any j < k]; tiers (k <= lsd vs beyond) per
     dc_ca_cross's two-threshold rule.
+
+    The walk is evaluated as arm = min(A, B): A = number of k whose
+    color tests all passed before them (alive is monotone), B = the
+    in-bounds reach clamp(border_dist, 0, usd) -- exactly the quirky
+    sum above, with the per-k bounds test hoisted out of the loop.  The
+    color arithmetic runs in bf16 (u8 values and their diffs are <= 255,
+    bf16-exact; thresholds 6/20 exact) at twice the VPU lane density of
+    the round-2 i32 formulation; the k <= lsd previous-pixel test reads
+    a precomputed neighbor-diff plane (one slice instead of five ops).
     """
     y = pl.program_id(0)
     full = jnp.concatenate([b0[:], b1[:], b2[:]], axis=1)  # (3, 3R, WP)
@@ -162,37 +171,39 @@ def _arms_kernel(row0_ref, b0, b1, b2, up_ref, dn_ref, *, usd: int,
     # the working set register-resident
     tw = 2 * _LANE if wp % (2 * _LANE) == 0 else _LANE
     for x0 in range(0, wp, tw):
-        anc = [full[c, rows:2 * rows, x0:x0 + tw].astype(jnp.int32)
-               for c in range(3)]
-        g_y = (jax.lax.broadcasted_iota(jnp.int32, anc[0].shape, 0)
+        # diffs/maxes run in bf16 (u8 values and diffs <= 255 are
+        # bf16-exact, 2x the VPU lane density); the threshold compares,
+        # the alive mask, and the count stay f32/(8,128)-layout -- this
+        # Mosaic has neither bf16 vector compares nor i1 relayouts
+        # between the (8,128) and (16,128) packings
+        blk = full[:, :, x0:x0 + tw].astype(jnp.bfloat16)  # (3, 3R, tw)
+        # ndm[j] = max_c |row j - row j+1|: the k<=lsd "previous pixel"
+        # diff for every (r, k, dy) is one sublane slice of this plane
+        d01 = jnp.abs(blk[:, :-1] - blk[:, 1:])
+        ndm = jnp.maximum(jnp.maximum(d01[0], d01[1]), d01[2])
+        anc = blk[:, rows:2 * rows]                        # (3, rows, tw)
+        g_y = (jax.lax.broadcasted_iota(jnp.int32, (rows, tw), 0)
                + y * rows + row0_ref[0])
         for dy, out_ref in ((-1, up_ref), (1, dn_ref)):
-            arm = jnp.zeros(anc[0].shape, jnp.int32)
-            alive = jnp.ones(anc[0].shape, jnp.bool_)
-            prev = anc
+            count = jnp.zeros((rows, tw), F32)
+            alive = jnp.ones((rows, tw), jnp.bool_)
             for k in range(1, usd + 1):
                 o = rows + dy * k
-                cur = [full[c, o:o + rows, x0:x0 + tw].astype(jnp.int32)
-                       for c in range(3)]
+                count = count + jnp.where(alive, F32(1.0), F32(0.0))
+                cur = blk[:, o:o + rows]
                 ac = jnp.maximum(jnp.maximum(jnp.abs(cur[0] - anc[0]),
                                              jnp.abs(cur[1] - anc[1])),
-                                 jnp.abs(cur[2] - anc[2])).astype(F32)
+                                 jnp.abs(cur[2] - anc[2]))
                 if k <= lsd:
-                    cp = jnp.maximum(
-                        jnp.maximum(jnp.abs(cur[0] - prev[0]),
-                                    jnp.abs(cur[1] - prev[1])),
-                        jnp.abs(cur[2] - prev[2])).astype(F32)
-                    fail = (ac > F32(lcd)) | (cp > F32(lcd))
+                    cp = ndm[o - 1 if dy > 0 else o:][:rows]
+                    big = jnp.maximum(ac, cp)   # (x>t)|(y>t) = max>t
+                    fail = big.astype(F32) > F32(lcd)
                 else:
-                    fail = ac > F32(ucd)
-                if dy < 0:
-                    in_b = g_y - k >= 0
-                else:
-                    in_b = g_y + k <= g_h - 1
-                arm = arm + jnp.where(in_b & alive, 1, 0)
+                    fail = ac.astype(F32) > F32(ucd)
                 alive = alive & ~fail
-                prev = cur
-            out_ref[:, x0:x0 + tw] = arm
+            bound = jnp.clip(g_y if dy < 0 else g_h - 1 - g_y, 0, usd)
+            out_ref[:, x0:x0 + tw] = jnp.minimum(
+                count.astype(jnp.int32), bound)
 
 
 @functools.partial(jax.jit, static_argnames=("ucd", "lcd", "usd", "lsd",
@@ -255,6 +266,39 @@ def cross_arms_kern(img: jnp.ndarray, ucd: float, lcd: float, usd: int,
     return jnp.stack([up, dn, left_t.T, right_t.T])
 
 
+def cross_arms_kern_lr(img_l: jnp.ndarray, img_r: jnp.ndarray, ucd: float,
+                       lcd: float, usd: int, lsd: int, row_offset=None,
+                       global_h: int | None = None,
+                       interpret: bool = False):
+    """Both eyes' cross arms in two Pallas calls instead of four: the
+    eyes are stacked along the LANE axis of each orientation (the walk
+    axis is H for U/D and W for L/R, so the stack never crosses a walk;
+    both eyes share the same border bounds).  Returns (arms_l, arms_r),
+    each identical to cross_arms_kern."""
+    if usd > _ARMROWS:
+        raise ValueError(f"cross_arms_kern supports usd <= {_ARMROWS}")
+    pl_l = jnp.moveaxis(img_l.astype(jnp.int32), 2, 0)    # (3, H, W)
+    pl_r = jnp.moveaxis(img_r.astype(jnp.int32), 2, 0)
+    h, w = img_l.shape[:2]
+    row0 = 0 if row_offset is None else row_offset
+
+    both_v = jnp.concatenate([pl_l, pl_r], axis=2)        # (3, H, 2W)
+    up, dn = _arms_vertical(both_v, ucd, lcd, usd, lsd, row0=row0,
+                            g_h=global_h, interpret=interpret)
+    both_h = jnp.concatenate([jnp.swapaxes(pl_l, 1, 2),
+                              jnp.swapaxes(pl_r, 1, 2)], axis=2)
+    lt, rt = _arms_vertical(both_h, ucd, lcd, usd, lsd,
+                            interpret=interpret)          # (W, 2H)
+    arms_l = jnp.stack([up[:, :w], dn[:, :w],
+                        lt[:, :h].T, rt[:, :h].T])
+    arms_r = jnp.stack([up[:, w:], dn[:, w:],
+                        lt[:, h:].T, rt[:, h:].T])
+    return arms_l, arms_r
+
+
+_DCCROWS = 8    # dcc rows per grid step (16 measured no better at 1080p)
+
+
 @functools.partial(jax.jit, static_argnames=("thresh", "with_labels",
                                              "num_disp", "zero_disp",
                                              "interpret"))
@@ -268,7 +312,7 @@ def dcc_occl_kern(disp_l: jnp.ndarray, disp_r: jnp.ndarray,
     num_disp/zero_disp bound the disparity reach (<= 128 columns); a
     tighter bound shrinks the compare window."""
     h, w = disp_l.shape
-    hp = -(-h // _ROWS) * _ROWS
+    hp = -(-h // _DCCROWS) * _DCCROWS
     wp = -(-w // _LANE) * _LANE
     if num_disp is None or zero_disp is None:
         reach = _PAD
@@ -276,22 +320,22 @@ def dcc_occl_kern(disp_l: jnp.ndarray, disp_r: jnp.ndarray,
         bound = max(zero_disp, num_disp - zero_disp)
         if bound > _PAD:
             raise ValueError("disparity reach exceeds 128 columns")
-        reach = 64 if bound <= 64 else _PAD
+        reach = max(8, -(-bound // 8) * 8)
 
     def prep(d):
         d = d.astype(F32)
         d = jnp.pad(d, ((0, hp - h), (0, wp - w)), mode="edge")
         return jnp.pad(d, ((0, 0), (reach, reach)), mode="edge")
 
-    dspec = pl.BlockSpec((_ROWS, wp + 2 * reach), lambda y: (y, 0),
+    dspec = pl.BlockSpec((_DCCROWS, wp + 2 * reach), lambda y: (y, 0),
                          memory_space=pltpu.VMEM)
-    ospec = pl.BlockSpec((_ROWS, wp), lambda y: (y, 0),
+    ospec = pl.BlockSpec((_DCCROWS, wp), lambda y: (y, 0),
                          memory_space=pltpu.VMEM)
     out_l, out_r = pl.pallas_call(
-        functools.partial(_dcc_kernel, n_tiles=wp // _LANE, rows=_ROWS,
+        functools.partial(_dcc_kernel, n_tiles=wp // _LANE, rows=_DCCROWS,
                           w=w, reach=reach, thresh=float(thresh),
                           with_labels=with_labels),
-        grid=(hp // _ROWS,),
+        grid=(hp // _DCCROWS,),
         in_specs=[dspec, dspec],
         out_specs=(ospec, ospec),
         out_shape=(jax.ShapeDtypeStruct((hp, wp), jnp.int32),) * 2,
@@ -301,6 +345,80 @@ def dcc_occl_kern(disp_l: jnp.ndarray, disp_r: jnp.ndarray,
     )(prep(disp_l), prep(disp_r))
     return (out_l[:h, :w].astype(jnp.uint8),
             out_r[:h, :w].astype(jnp.uint8))
+
+
+def _bleed_kernel(b0, b1, b2, out_ref, *, thresh: float, n_tiles: int):
+    """Radius-1 bleed + occl_to_mask for one 8-row step.  b0/b1/b2:
+    consecutive (ROWS, WP + 256) row blocks of the mirror-padded 0/1
+    map; output f32 mask rows (b1's rows)."""
+    full = jnp.concatenate([b0[:], b1[:], b2[:]], axis=0)  # (3R, WP+256)
+    for t in range(n_tiles):
+        base = _PAD + t * _LANE
+        cnt = jnp.zeros((_ROWS, _LANE), jnp.float32)
+        for dy in (-1, 0, 1):
+            shifted = full[_ROWS + dy:2 * _ROWS + dy]
+            chunks = [shifted[:, base - _LANE + k * _LANE:
+                              base + k * _LANE] for k in range(3)]
+            for dx in (-1, 0, 1):
+                cnt = cnt + _window(chunks, _LANE + dx, _ROWS)
+        ctr = full[_ROWS:2 * _ROWS, base:base + _LANE]
+        out_ref[:, t * _LANE:(t + 1) * _LANE] = jnp.where(
+            cnt > F32(thresh), F32(1.0), ctr)
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "interpret"))
+def filter_bleed_mask_kern(occl_l: jnp.ndarray, occl_r: jnp.ndarray,
+                           radius: int = 1, interpret: bool = False):
+    """filter_bleed + dibr_occl_to_mask for both eyes in one Pallas call:
+    f32 masks where >30% of the 3x3 neighborhood is set, else the input
+    value (d_filter.cu:105-139 + d_dibr_occl.cu:17-31).
+
+    Only radius 1 (both live paths, d_io.cu:167-168) -- at r=1 the
+    reference's quirky edge rule (negative coords mirror, past-the-end
+    maps to n-1-off) is exactly mirror padding, pre-baked here in XLA so
+    the kernel is a pure 3x3 sum-threshold.  Bit-exact vs the XLA pair
+    (integer counts; same threshold compare)."""
+    if radius != 1:
+        raise ValueError("filter_bleed_mask_kern supports radius 1 (the "
+                         "live-path value); use ops.filter_bleed otherwise")
+    h, w = occl_l.shape
+    hp = -(-h // _ROWS) * _ROWS
+    wp = -(-w // _LANE) * _LANE
+    thresh = float((2 * radius + 1) ** 2 - 1) * 0.30
+
+    def prep(x):
+        x = x.astype(F32)
+        # mirror rows/cols (s=-1 -> 1, s=n -> n-2), then block-align:
+        # a full spacer block of rows each side (the y+-1 blocks never
+        # clamp) and _PAD columns each side for the lane windows
+        x = jnp.concatenate([x[1:2], x, x[h - 2:h - 1]], axis=0)
+        x = jnp.concatenate([x[:, 1:2], x, x[:, w - 2:w - 1]], axis=1)
+        x = jnp.pad(x, ((_ROWS - 1, _ROWS - 1 + hp - h),
+                        (_PAD - 1, _PAD - 1 + wp - w)))
+        return x
+
+    spec = lambda d: pl.BlockSpec((_ROWS, wp + 2 * _PAD),
+                                  lambda y, d=d: (y + d, 0),
+                                  memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((_ROWS, wp), lambda y: (y, 0),
+                         memory_space=pltpu.VMEM)
+    kern = functools.partial(_bleed_kernel, thresh=thresh,
+                             n_tiles=wp // _LANE)
+    outs = []
+    for occ in (occl_l, occl_r):
+        a = prep(occ)
+        out = pl.pallas_call(
+            kern,
+            grid=(hp // _ROWS,),
+            in_specs=[spec(0), spec(1), spec(2)],
+            out_specs=ospec,
+            out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+            interpret=interpret,
+        )(a, a, a)
+        outs.append(out[:h, :w])
+    return tuple(outs)
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "sigma_color",

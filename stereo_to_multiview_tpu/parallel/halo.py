@@ -156,15 +156,12 @@ def halo_process_frame(mesh: Mesh, cfg: PipelineConfig,
         band = _use_band(cfg)
         interpret = jax.default_backend() == "cpu"
         if band:
-            from stereo_to_multiview_tpu.ops.postkern import cross_arms_kern
-            arms_l = cross_arms_kern(ext_l, cfg.ucd, cfg.lcd, usd, cfg.lsd,
-                                     row_offset=ext_row0,
-                                     global_h=cfg.num_rows,
-                                     interpret=interpret)
-            arms_r = cross_arms_kern(ext_r, cfg.ucd, cfg.lcd, usd, cfg.lsd,
-                                     row_offset=ext_row0,
-                                     global_h=cfg.num_rows,
-                                     interpret=interpret)
+            from stereo_to_multiview_tpu.ops.postkern import (
+                cross_arms_kern_lr)
+            arms_l, arms_r = cross_arms_kern_lr(
+                ext_l, ext_r, cfg.ucd, cfg.lcd, usd, cfg.lsd,
+                row_offset=ext_row0, global_h=cfg.num_rows,
+                interpret=interpret)
         else:
             arms_l = ops.cross_arms(ext_l, cfg.ucd, cfg.lcd, usd, cfg.lsd,
                                     row_offset=ext_row0,

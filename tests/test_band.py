@@ -175,6 +175,22 @@ def test_ci_adcensus_kern_shift_extracted_right_eye(rng):
             _np(b), _np(jnp.rint(rb * 127).astype(jnp.bfloat16)))
 
 
+def test_ci_adcensus_kern_xm_matches_row_major(stereo_pair):
+    """x-major cost kernel (sublane disparity windows) vs the row-major
+    kernel: bit-identical volumes, quantized and f32."""
+    from stereo_to_multiview_tpu.ops.costkern import (ci_adcensus_kern,
+                                                      ci_adcensus_kern_xm)
+    left, right = stereo_pair
+    l, r = jnp.asarray(left), jnp.asarray(right)
+    for quant in (True, False):
+        ref_l, ref_r = ci_adcensus_kern(l, r, 10.0, 30.0, 12, 6,
+                                        quant=quant, interpret=True)
+        out_l, out_r = ci_adcensus_kern_xm(l, r, 10.0, 30.0, 12, 6,
+                                           quant=quant, interpret=True)
+        np.testing.assert_array_equal(_np(ref_l), _np(out_l))
+        np.testing.assert_array_equal(_np(ref_r), _np(out_r))
+
+
 def test_chunked_core_matches_unchunked(stereo_pair):
     """Row-chunked stereo core vs whole-frame: bit-exact.  The quantized
     aggregation is exact integer arithmetic, so the V-pass tile origin
@@ -396,16 +412,38 @@ def test_dcc_occl_kern_matches_xla(stereo_pair, rng):
     np.testing.assert_array_equal(_np(refh_r), _np(oh_r))
 
 
+def test_bleed_mask_kern_matches_xla(rng):
+    """Fused radius-1 bleed + occl_to_mask kernel vs the XLA pair:
+    bit-exact, including the reference's mirror edge behavior."""
+    from stereo_to_multiview_tpu.ops.postkern import filter_bleed_mask_kern
+    h, w = 40, 150
+    occ_l = jnp.asarray((rng.random((h, w)) < 0.12).astype(np.uint8))
+    occ_r = jnp.asarray((rng.random((h, w)) < 0.5).astype(np.uint8))
+    ref_l = ops.dibr_occl_to_mask(ops.filter_bleed(occ_l, 1))
+    ref_r = ops.dibr_occl_to_mask(ops.filter_bleed(occ_r, 1))
+    out_l, out_r = filter_bleed_mask_kern(occ_l, occ_r, 1, interpret=True)
+    np.testing.assert_array_equal(_np(ref_l), _np(out_l))
+    np.testing.assert_array_equal(_np(ref_r), _np(out_r))
+
+
 def test_cross_arms_kern_matches_xla(stereo_pair):
     """Two-pass (vertical + transposed-vertical) Pallas arms kernel vs
-    ops.cross.cross_arms: bit-exact, borders and tier rule included."""
-    from stereo_to_multiview_tpu.ops.postkern import cross_arms_kern
+    ops.cross.cross_arms: bit-exact, borders and tier rule included.
+    Also the lane-stacked both-eyes variant."""
+    from stereo_to_multiview_tpu.ops.postkern import (cross_arms_kern,
+                                                      cross_arms_kern_lr)
     left, right = stereo_pair
+    refs = []
     for img in (left, right):
         im = jnp.asarray(img)
         ref = ops.cross_arms(im, 6.0, 20.0, 9, 4)
+        refs.append(ref)
         out = cross_arms_kern(im, 6.0, 20.0, 9, 4, interpret=True)
         np.testing.assert_array_equal(_np(ref), _np(out))
+    out_l, out_r = cross_arms_kern_lr(jnp.asarray(left), jnp.asarray(right),
+                                      6.0, 20.0, 9, 4, interpret=True)
+    np.testing.assert_array_equal(_np(refs[0]), _np(out_l))
+    np.testing.assert_array_equal(_np(refs[1]), _np(out_r))
 
 
 def test_warp_views_kern_matches_pair(stereo_pair, rng):
