@@ -34,14 +34,32 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 def bench_input(cfg):
     """1080p SBS stereo frame built from the bundled fish fixtures:
     fish_1/fish_2 (640x384, consecutive frames of a moving scene = a real
-    stereo-like pair), nearest-upscaled 3x (disparities scale with it) and
-    cropped/tiled to (num_rows, 2*num_cols)."""
+    stereo-like pair), bilinearly upscaled 3x (disparities scale with it;
+    bilinear, not nearest -- blocky nearest-upscaled texture makes
+    matching artificially ambiguous and floods dcc/IRV with outliers
+    real footage would not produce) and cropped/tiled to
+    (num_rows, 2*num_cols)."""
     from stereo_to_multiview_tpu.utils import read_bmp
     l = read_bmp(os.path.join(_HERE, "tests/data/fish_1.bmp"))
     r = read_bmp(os.path.join(_HERE, "tests/data/fish_2.bmp"))
 
+    def up3(img):
+        """Host-side bilinear 3x upscale."""
+        h, w = img.shape[:2]
+        out = img.astype(np.float32)
+        for ax, n in ((0, h), (1, w)):
+            s = np.minimum(np.arange(3 * n, dtype=np.float32) / 3.0,
+                           np.float32(n - 1))
+            i0 = np.floor(s).astype(np.int64)
+            i1 = np.minimum(i0 + 1, n - 1)
+            f = (s - i0)[(slice(None), None, None) if ax == 0
+                         else (None, slice(None), None)]
+            out = (np.take(out, i0, axis=ax) * (1.0 - f)
+                   + np.take(out, i1, axis=ax) * f)
+        return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
     def fit(img):
-        img = img.repeat(3, axis=0).repeat(3, axis=1)   # 1152 x 1920
+        img = up3(img)                                  # 1152 x 1920
         reps = (-(-cfg.num_rows // img.shape[0]),
                 -(-cfg.num_cols // img.shape[1]), 1)
         img = np.tile(img, reps)

@@ -217,8 +217,12 @@ def main():
                              - np.float32(v_i)
                              / np.float32(cfg.num_views - 1.0))
                        for v_i in range(1, cfg.num_views - 1))
-        timed("s:warp_views", lambda l, r, a, b: dibr_warp_views_kern(
-            l, r, a, b, shifts, cfg.num_disp, cfg.zero_disp, interp),
+        # subsample the (V-2, H, W, 3) f32 outputs: lax.map would stack
+        # batch x views full frames (25 GB at batch 4); the kernel's work
+        # is opaque to DCE so the timing is unaffected
+        timed("s:warp_views", lambda l, r, a, b: jax.tree.map(
+            lambda v: v[:, ::16, ::16], dibr_warp_views_kern(
+                l, r, a, b, shifts, cfg.num_disp, cfg.zero_disp, interp)),
             img_l, img_r, disp_l, disp_r)
     if W("mux"):
         from stereo_to_multiview_tpu.models.pipeline import synthesize_views
