@@ -148,16 +148,17 @@ def main():
         # 1080p); subtract the "cost" stage time to compare shapes
         from stereo_to_multiview_tpu.ops.costkern import ci_adcensus_kern
 
+        from stereo_to_multiview_tpu.ops.costkern import ci_adcensus_kern_xm
+
         def agg(l, r, al, ar, rows, otile, digits):
-            cl, cr = ci_adcensus_kern(
+            cl, cr = ci_adcensus_kern_xm(
                 l, r, cfg.ad_coeff, cfg.census_coeff, cfg.num_disp,
                 cfg.zero_disp, quant=True, interpret=interp)
-            cost = jnp.concatenate([cl, cr], axis=0)
-            arms = jnp.concatenate([al, ar], axis=1)
-            return B.band_aggregate_q(cost, arms, cfg.usd,
-                                      zero_disp=cfg.zero_disp,
-                                      interpret=interp, rows=rows,
-                                      otile=otile, digits=digits)
+            return tuple(B.band_aggregate_q(c, a, cfg.usd,
+                                            zero_disp=cfg.zero_disp,
+                                            interpret=interp, rows=rows,
+                                            otile=otile, digits=digits)
+                         for c, a in ((cl, al), (cr, ar)))
         for rows, otile, digits in ((8, 512, 2), (16, 256, 2),
                                     (16, 512, 2), (8, 256, 1), (8, 512, 1),
                                     (16, 512, 1), (8, 1024, 2)):

@@ -108,23 +108,43 @@ def _terms(x, mode: str, terms: int):
     return out
 
 
+def _tiles_for(w: int, otile: int, halo: int):
+    """Static output tiles ((a0, width, lo_trim, hi_trim), ...) covering
+    [0, w): `otile`-wide plus a remainder (widths stay 8-multiples when w
+    is one).  lo/hi_trim clip each tile's window [a0 - halo, a0 + width +
+    halo) to the ARRAY bounds -- the kernels read unpadded volumes (a
+    jnp.pad of an (H, W, D) volume is a full-volume HBM copy; round 2
+    paid three of them per aggregation)."""
+    tiles, a0 = [], 0
+    while a0 < w:
+        width = min(otile, w - a0)
+        lo = max(0, halo - a0)
+        hi = max(0, a0 + width + halo - w)
+        tiles.append((a0, width, lo, hi))
+        a0 += otile
+    return tuple(tiles)
+
+
 def _res_kernel(an_ref, ap_ref, vol_ref, out_ref, *, inclusive: bool,
                 mode: str, terms: int, rescale: int, wta: bool,
-                zero_disp: int, tiles: tuple, rows: int, halo: int):
-    """One `rows`-row grid step over the whole padded width.
+                zero_disp: int, tiles: tuple, rows: int, halo: int,
+                out_t: bool):
+    """One `rows`-row grid step over the whole width.
 
-    an/ap: (rows, WP) i32 arms in natural layout.
-    vol: (rows, WP + 2*halo, D) volume with a `halo`-column zero strip
-    each side (halo: smallest 8-multiple >= the arm bound).
-    out: (rows, WP, D) sums, or (rows, WP) f32 disparities when `wta`.
-    tiles: static ((a0, width), ...) output tiles covering [0, WP); widths
-    are 128-multiples.  Wider tiles halve the per-unit instruction stream
-    (the measured bottleneck -- the kernel is issue-bound, not MXU- or
-    DMA-bound, at 128), while a truncated last tile keeps the padding at
-    the 128 grain instead of the tile grain.
+    an/ap: (rows, W) i32 arms in natural layout.
+    vol: (rows, W, D) volume, UNPADDED -- each tile's window is trimmed
+    to the array bounds (windows never select out-of-image columns: arms
+    stop at the border, so trimming only drops zero band columns).
+    out: (rows, W, D) sums; (W, rows, D) when `out_t` (the store is a
+    middle-index write, so the next pass's transposed read needs no XLA
+    relayout); or (rows, W) f32 disparities when `wta`.
+    tiles: static ((a0, width, lo_trim, hi_trim), ...) from _tiles_for.
+    256-wide tiles halve the per-unit instruction stream (the measured
+    bottleneck -- the kernel is issue-bound, not MXU- or DMA-bound, at
+    128).
     """
     roffs = {}
-    for _, width in tiles:
+    for _, width, _, _ in tiles:
         if width not in roffs:
             o = jax.lax.broadcasted_iota(
                 jnp.int32, (width, width + 2 * halo), 0)
@@ -132,11 +152,12 @@ def _res_kernel(an_ref, ap_ref, vol_ref, out_ref, *, inclusive: bool,
                 jnp.int32, (width, width + 2 * halo), 1)
             roffs[width] = i - halo - o   # offset of window pos i from o
 
-    an_all = an_ref[:].T            # (WP, rows): one small relayout/step
+    an_all = an_ref[:].T            # (W, rows): one small relayout/step
     ap_all = ap_ref[:].T
 
-    for a0, width in tiles:
+    for a0, width, lo, hi in tiles:
         roff = roffs[width]
+        win = width + 2 * halo
         for r in range(rows):
             an = an_all[a0:a0 + width, r:r + 1]      # (width, 1)
             ap = ap_all[a0:a0 + width, r:r + 1]
@@ -144,8 +165,8 @@ def _res_kernel(an_ref, ap_ref, vol_ref, out_ref, *, inclusive: bool,
                 band = (roff >= -an) & (roff <= ap)
             else:
                 band = (roff >= -an) & (roff < ap)
-            a = band.astype(BF16)                    # exact 0/1
-            x = vol_ref[r, a0:a0 + width + 2 * halo, :]   # (win, D)
+            a = band.astype(BF16)[:, lo:win - hi]    # exact 0/1
+            x = vol_ref[r, a0 - halo + lo:a0 + width + halo - hi, :]
             y = None
             for part, scale in _terms(x, mode, terms):
                 dot = jnp.dot(a, part, preferred_element_type=F32)
@@ -157,60 +178,72 @@ def _res_kernel(an_ref, ap_ref, vol_ref, out_ref, *, inclusive: bool,
             if wta:
                 am = jnp.argmin(y, axis=1).astype(jnp.int32)
                 out_ref[r, a0:a0 + width] = (am - zero_disp).astype(F32)
+            elif out_t:
+                out_ref[a0:a0 + width, r, :] = y.astype(out_ref.dtype)
             else:
                 out_ref[r, a0:a0 + width, :] = y.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "inclusive", "mode", "terms", "rescale", "wta", "zero_disp", "rows",
-    "otile", "out_dtype", "halo", "interpret"))
+    "otile", "out_dtype", "halo", "out_t", "interpret"))
 def _band_pass_h(vol: jnp.ndarray, arm_neg: jnp.ndarray,
                  arm_pos: jnp.ndarray, *, inclusive: bool = False,
                  mode: str = "float", terms: int = 2, rescale: int = 0,
                  wta: bool = False, zero_disp: int = 0, rows: int = _ROWS,
                  otile: int = 2 * _LANE, out_dtype=jnp.float32,
-                 halo: int = _HALO, interpret: bool = False) -> jnp.ndarray:
+                 halo: int = _HALO, out_t: bool = False,
+                 interpret: bool = False) -> jnp.ndarray:
     """Windowed sum along axis 1 of a (H, W, D) volume (see _res_kernel).
     out_dtype int16 is valid when every output fits in [-32768, 32767]
     (the quantized pipeline's rescales guarantee it) and halves the HBM
     traffic of the intermediate volumes.  `halo` must cover the arm bound
     (_halo_for(max_arm)); smaller halos shrink every window slice and
-    band matrix."""
-    h, w, d = vol.shape
-    wp = -(-w // _LANE) * _LANE
-    hp = -(-h // rows) * rows
-    # static output tiles: `otile`-wide plus a 128-grain remainder
-    tiles = []
-    a0 = 0
-    while a0 < wp:
-        tiles.append((a0, min(otile, wp - a0)))
-        a0 += otile
-    tiles = tuple(tiles)
+    band matrix.  out_t=True returns (W, H, D) via transposed in-kernel
+    stores -- the next (vertical) pass reads it directly, with no
+    full-volume XLA relayout.
 
-    vol = jnp.pad(vol, ((0, hp - h), (halo, halo + wp - w), (0, 0)))
-    zpad = ((0, hp - h), (0, wp - w))
-    an_n = jnp.pad(arm_neg.astype(jnp.int32), zpad)
-    ap_n = jnp.pad(arm_pos.astype(jnp.int32), zpad)
+    The volume is read UNPADDED when H is a `rows`-multiple and W is an
+    8-multiple (every shipping config); otherwise a one-off pad copy
+    aligns it."""
+    h0, w0, d = vol.shape
+    h, w = h0, w0
+    if h % rows or w % 8:
+        hp = -(-h // rows) * rows
+        wp = -(-w // 8) * 8
+        vol = jnp.pad(vol, ((0, hp - h), (0, wp - w), (0, 0)))
+        zpad = ((0, hp - h), (0, wp - w))
+        arm_neg = jnp.pad(arm_neg.astype(jnp.int32), zpad)
+        arm_pos = jnp.pad(arm_pos.astype(jnp.int32), zpad)
+        h, w = hp, wp
+    tiles = _tiles_for(w, otile, halo)
 
-    arm_spec = pl.BlockSpec((rows, wp), lambda y: (y, 0),
+    an_n = arm_neg.astype(jnp.int32)
+    ap_n = arm_pos.astype(jnp.int32)
+
+    arm_spec = pl.BlockSpec((rows, w), lambda y: (y, 0),
                             memory_space=pltpu.VMEM)
-    vol_spec = pl.BlockSpec((rows, wp + 2 * halo, d), lambda y: (y, 0, 0),
+    vol_spec = pl.BlockSpec((rows, w, d), lambda y: (y, 0, 0),
                             memory_space=pltpu.VMEM)
     if wta:
-        out_spec = pl.BlockSpec((rows, wp), lambda y: (y, 0),
+        out_spec = pl.BlockSpec((rows, w), lambda y: (y, 0),
                                 memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
+        out_shape = jax.ShapeDtypeStruct((h, w), jnp.float32)
+    elif out_t:
+        out_spec = pl.BlockSpec((w, rows, d), lambda y: (0, y, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((w, h, d), out_dtype)
     else:
-        out_spec = pl.BlockSpec((rows, wp, d), lambda y: (y, 0, 0),
+        out_spec = pl.BlockSpec((rows, w, d), lambda y: (y, 0, 0),
                                 memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((hp, wp, d), out_dtype)
+        out_shape = jax.ShapeDtypeStruct((h, w, d), out_dtype)
 
     out = pl.pallas_call(
         functools.partial(_res_kernel, inclusive=inclusive, mode=mode,
                           terms=terms, rescale=rescale, wta=wta,
                           zero_disp=zero_disp, tiles=tiles, rows=rows,
-                          halo=halo),
-        grid=(hp // rows,),
+                          halo=halo, out_t=out_t),
+        grid=(h // rows,),
         in_specs=[arm_spec, arm_spec, vol_spec],
         out_specs=out_spec,
         out_shape=out_shape,
@@ -219,12 +252,16 @@ def _band_pass_h(vol: jnp.ndarray, arm_neg: jnp.ndarray,
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(an_n, ap_n, vol)
-    return out[:h, :w]
+    if (h, w) == (h0, w0):
+        return out                       # aligned: no crop copy
+    if wta:
+        return out[:h0, :w0]
+    return out[:w0, :h0] if out_t else out[:h0, :w0]
 
 
 def _vv_kernel(an_ref, ap_ref, vol_ref, out_ref, *scratch, s2: int,
-               s3: int, tiles: tuple, rows: int, halo_lo: int,
-               halo_hi: int, halo: int, digits: int):
+               s3: int, tiles: tuple, rows: int, halo: int, digits: int,
+               out_t: bool):
     """Fused passes 2+3 (the two V-passes share one window axis and one
     arm pair): pass-2 sums from the int16 volume, rescale by 2^-s2, split
     into base-256 bf16 digits held in VMEM scratch, pass-3 sums from the
@@ -244,11 +281,12 @@ def _vv_kernel(an_ref, ap_ref, vol_ref, out_ref, *scratch, s2: int,
     (the fast path; final WTA precision drops ~4 bits per pass, see
     agg_rescale_shifts).
 
-    scratch: `digits` planes of (rows, WP + 2*halo, D) bf16.  halo_lo /
-    halo_hi are the scratch's zero-strip widths ([halo] + any width
-    padding)."""
+    vol is UNPADDED (pass-2 windows trim to the array bounds, see
+    _tiles_for); scratch: `digits` planes of (rows, L + 2*halo, D) bf16
+    with zero halo strips, so pass 3 reads untrimmed windows.  out_t
+    stores (L, rows, D) -- pass 4 then reads (H, W, D) directly."""
     roffs = {}
-    for _, width in tiles:
+    for _, width, _, _ in tiles:
         if width not in roffs:
             o = jax.lax.broadcasted_iota(
                 jnp.int32, (width, width + 2 * halo), 0)
@@ -264,17 +302,18 @@ def _vv_kernel(an_ref, ap_ref, vol_ref, out_ref, *scratch, s2: int,
 
     # zero the scratch halo strips (window reach beyond the output span)
     d = lo_ref.shape[-1]
-    z_lo = jnp.zeros((rows, halo_lo, d), BF16)
-    z_hi = jnp.zeros((rows, halo_hi, d), BF16)
+    z = jnp.zeros((rows, halo, d), BF16)
     for ref in scratch:
-        ref[:, :halo_lo, :] = z_lo
-        ref[:, ref.shape[1] - halo_hi:, :] = z_hi
+        ref[:, :halo, :] = z
+        ref[:, ref.shape[1] - halo:, :] = z
 
-    def pass2(a0, width, band, r):
-        x = vol_ref[r, a0:a0 + width + 2 * halo, :]
+    def pass2(a0, width, band, lo_t, hi_t, r):
+        win = width + 2 * halo
+        x = vol_ref[r, a0 - halo + lo_t:a0 + width + halo - hi_t, :]
         y = None
         for part, scale in _terms(x, "int", digits):
-            dot = jnp.dot(band, part, preferred_element_type=F32)
+            dot = jnp.dot(band[:, lo_t:win - hi_t], part,
+                          preferred_element_type=F32)
             if scale is not None:
                 dot = dot * scale
             y = dot if y is None else y + dot
@@ -295,16 +334,19 @@ def _vv_kernel(an_ref, ap_ref, vol_ref, out_ref, *scratch, s2: int,
             y = y + jnp.dot(band, hi, preferred_element_type=F32) \
                 * F32(256.0)
         y = jnp.floor(y * F32(2.0 ** -s3) + F32(0.5))
-        out_ref[r, a0:a0 + width, :] = y.astype(out_ref.dtype)
+        if out_t:
+            out_ref[a0:a0 + width, r, :] = y.astype(out_ref.dtype)
+        else:
+            out_ref[r, a0:a0 + width, :] = y.astype(out_ref.dtype)
 
     for r in range(rows):
         prev = None                    # (a0, width, band) awaiting pass 3
-        for a0, width in tiles:
+        for a0, width, lo_t, hi_t in tiles:
             roff = roffs[width]
             an = an_all[a0:a0 + width, r:r + 1]
             ap = ap_all[a0:a0 + width, r:r + 1]
             band = ((roff >= -an) & (roff < ap)).astype(BF16)
-            pass2(a0, width, band, r)
+            pass2(a0, width, band, lo_t, hi_t, r)
             if prev is not None:
                 pass3(*prev, r)
             prev = (a0, width, band)
@@ -312,53 +354,63 @@ def _vv_kernel(an_ref, ap_ref, vol_ref, out_ref, *scratch, s2: int,
 
 
 @functools.partial(jax.jit, static_argnames=("s2", "s3", "rows", "otile",
-                                             "halo", "digits", "interpret"))
+                                             "halo", "digits", "out_t",
+                                             "interpret"))
 def _band_pass_vv(vol: jnp.ndarray, arm_neg: jnp.ndarray,
                   arm_pos: jnp.ndarray, *, s2: int, s3: int,
                   rows: int = _ROWS, otile: int = 2 * _LANE,
-                  halo: int = _HALO, digits: int = 2,
+                  halo: int = _HALO, digits: int = 2, out_t: bool = False,
                   interpret: bool = False) -> jnp.ndarray:
     """Both V-passes of the quantized aggregation in one kernel (see
     _vv_kernel).  Bit-identical to two _band_pass_h(mode='int',
-    terms=digits) calls with rescales s2 then s3."""
-    h, w, d = vol.shape
-    wp = -(-w // _LANE) * _LANE
-    hp = -(-h // rows) * rows
-    tiles = []
-    a0 = 0
-    while a0 < wp:
-        tiles.append((a0, min(otile, wp - a0)))
-        a0 += otile
-    tiles = tuple(tiles)
+    terms=digits) calls with rescales s2 then s3.  Input is read
+    unpadded (aligned shapes); out_t stores the (W, H, D)-shaped result
+    for a (W, H, D)-shaped input, i.e. back in natural orientation."""
+    h0, w0, d = vol.shape
+    h, w = h0, w0
+    if h % rows or w % 8:
+        hp = -(-h // rows) * rows
+        wp = -(-w // 8) * 8
+        vol = jnp.pad(vol, ((0, hp - h), (0, wp - w), (0, 0)))
+        zpad = ((0, hp - h), (0, wp - w))
+        arm_neg = jnp.pad(arm_neg.astype(jnp.int32), zpad)
+        arm_pos = jnp.pad(arm_pos.astype(jnp.int32), zpad)
+        h, w = hp, wp
+    tiles = _tiles_for(w, otile, halo)
 
-    vol = jnp.pad(vol, ((0, hp - h), (halo, halo + wp - w), (0, 0)))
-    zpad = ((0, hp - h), (0, wp - w))
-    an_n = jnp.pad(arm_neg.astype(jnp.int32), zpad)
-    ap_n = jnp.pad(arm_pos.astype(jnp.int32), zpad)
+    an_n = arm_neg.astype(jnp.int32)
+    ap_n = arm_pos.astype(jnp.int32)
 
-    arm_spec = pl.BlockSpec((rows, wp), lambda y: (y, 0),
+    arm_spec = pl.BlockSpec((rows, w), lambda y: (y, 0),
                             memory_space=pltpu.VMEM)
-    vol_spec = pl.BlockSpec((rows, wp + 2 * halo, d), lambda y: (y, 0, 0),
+    vol_spec = pl.BlockSpec((rows, w, d), lambda y: (y, 0, 0),
                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((rows, wp, d), lambda y: (y, 0, 0),
-                            memory_space=pltpu.VMEM)
-    scratch = pltpu.VMEM((rows, wp + 2 * halo, d), BF16)
+    if out_t:
+        out_spec = pl.BlockSpec((w, rows, d), lambda y: (0, y, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((w, h, d), jnp.int16)
+    else:
+        out_spec = pl.BlockSpec((rows, w, d), lambda y: (y, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((h, w, d), jnp.int16)
+    scratch = pltpu.VMEM((rows, w + 2 * halo, d), BF16)
 
     out = pl.pallas_call(
         functools.partial(_vv_kernel, s2=s2, s3=s3, tiles=tiles, rows=rows,
-                          halo_lo=halo, halo_hi=halo + (wp - w),
-                          halo=halo, digits=digits),
-        grid=(hp // rows,),
+                          halo=halo, digits=digits, out_t=out_t),
+        grid=(h // rows,),
         in_specs=[arm_spec, arm_spec, vol_spec],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((hp, wp, d), jnp.int16),
+        out_shape=out_shape,
         scratch_shapes=[scratch] * digits,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(an_n, ap_n, vol)
-    return out[:h, :w]
+    if (h, w) == (h0, w0):
+        return out
+    return out[:w0, :h0] if out_t else out[:h0, :w0]
 
 
 def band_span_sum_h(vol: jnp.ndarray, arm_neg: jnp.ndarray,
@@ -455,16 +507,18 @@ def band_aggregate_q(cost_q: jnp.ndarray, arms: jnp.ndarray, max_arm: int,
     s1, s2, s3 = agg_rescale_shifts(max_arm, digits)
     halo = _halo_for(max_arm)
     # intermediate volumes are int16: pass-1 output <= 254*129 = 32766 and
-    # the rescales keep passes 2/3 below 2^15 -- half the HBM bytes of f32
+    # the rescales keep passes 2/3 below 2^15 -- half the HBM bytes of f32.
+    # Orientation rides the transposed in-kernel stores: pass 1 emits
+    # (W, H, D), the fused V-passes read it directly and emit (H, W, D)
+    # for pass 4 -- zero full-volume XLA relayouts (round 2 paid two
+    # swapaxes + three pads per aggregation, ~8 GB of HBM copies/frame).
     i16 = jnp.int16
     kw = dict(rows=rows, otile=otile, halo=halo, interpret=interpret)
-    a = _band_pass_h(cost_q, arms[LEFT], arms[RIGHT], mode="int", terms=1,
-                     rescale=s1, out_dtype=i16, **kw)
-    at = jnp.swapaxes(a, 0, 1)
-    at = _band_pass_vv(at, arms[UP].T, arms[DOWN].T, s2=s2, s3=s3,
-                       rows=rows, otile=otile, halo=halo, digits=digits,
-                       interpret=interpret)
-    a = jnp.swapaxes(at, 0, 1)
+    at = _band_pass_h(cost_q, arms[LEFT], arms[RIGHT], mode="int", terms=1,
+                      rescale=s1, out_dtype=i16, out_t=True, **kw)
+    a = _band_pass_vv(at, arms[UP].T, arms[DOWN].T, s2=s2, s3=s3,
+                      rows=rows, otile=otile, halo=halo, digits=digits,
+                      out_t=True, interpret=interpret)
     if zero_disp is None:
         return _band_pass_h(a, arms[LEFT], arms[RIGHT], mode="int",
                             terms=digits, **kw)
@@ -871,7 +925,7 @@ def band_stereo_core_chunked(img_l, img_r, arms_l, arms_r, cfg,
 
     Returns (disp_l, disp_r) float32.
     """
-    from stereo_to_multiview_tpu.ops.costkern import ci_adcensus_kern
+    from stereo_to_multiview_tpu.ops.costkern import ci_adcensus_kern_xm
 
     h = img_l.shape[0]
     usd = cfg.usd
@@ -888,22 +942,23 @@ def band_stereo_core_chunked(img_l, img_r, arms_l, arms_r, cfg,
         i0, i1 = max(0, start - 3), min(h, start + ext + 3)
         sl_img = slice(i0, i1)
         c_lo = start - i0                  # cost rows inside the img slice
-        cost_l, cost_r = ci_adcensus_kern(
+        cost_l, cost_r = ci_adcensus_kern_xm(
             img_l[sl_img], img_r[sl_img], cfg.ad_coeff, cfg.census_coeff,
             cfg.num_disp, cfg.zero_disp, quant=True, interpret=interpret)
-        cost_l = cost_l[c_lo:c_lo + ext]
-        cost_r = cost_r[c_lo:c_lo + ext]
 
+        # per-eye aggregation: no 2x-volume eye concat (a full HBM copy);
+        # the exact integer arithmetic makes per-eye == stacked anyway
         sl = slice(start, start + ext)
-        cost = jnp.concatenate([cost_l, cost_r], axis=0)
-        arms = jnp.concatenate([arms_l[:, sl], arms_r[:, sl]], axis=1)
-        disp = band_aggregate_q(cost, arms, usd, zero_disp=cfg.zero_disp,
-                                digits=getattr(cfg, "band_digits", 2),
-                                interpret=interpret)
         n_valid = min(chunk, h - (start + lo))
         v = slice(lo, lo + n_valid)
-        disp_parts_l.append(disp[:ext][v])
-        disp_parts_r.append(disp[ext:][v])
+        for cost, arms, parts in ((cost_l, arms_l, disp_parts_l),
+                                  (cost_r, arms_r, disp_parts_r)):
+            disp = band_aggregate_q(
+                cost[c_lo:c_lo + ext], arms[:, sl], usd,
+                zero_disp=cfg.zero_disp,
+                digits=getattr(cfg, "band_digits", 2),
+                interpret=interpret)
+            parts.append(disp[v])
     if len(disp_parts_l) == 1:
         return disp_parts_l[0], disp_parts_r[0]
     return (jnp.concatenate(disp_parts_l, axis=0),

@@ -207,17 +207,20 @@ def _arms_kernel(row0_ref, b0, b1, b2, up_ref, dn_ref, *, usd: int,
 
 
 @functools.partial(jax.jit, static_argnames=("ucd", "lcd", "usd", "lsd",
-                                             "g_h", "interpret"))
+                                             "g_h", "rows", "interpret"))
 def _arms_vertical(planes: jnp.ndarray, ucd: float, lcd: float, usd: int,
                    lsd: int, row0=0, g_h: int | None = None,
-                   interpret: bool = False):
+                   rows: int | None = None, interpret: bool = False):
     """(3, H, W) i32 channel planes -> (up, dn) (H, W) i32 arm lengths.
     row0 (traced ok) / g_h: global row coordinates for halo-extended row
-    shards (see ops.cross._arm_length)."""
+    shards (see ops.cross._arm_length).  rows: walk-axis rows per grid
+    step (must be >= usd: the y+-1 neighbor blocks carry the reach)."""
     _, h, w = planes.shape
     if g_h is None:
         g_h = h
-    r = _ARMROWS
+    r = rows if rows is not None else max(8, -(-usd // 8) * 8)
+    if r < usd:
+        raise ValueError("arms row block must cover usd")
     hp = -(-h // r) * r
     wp = -(-w // _LANE) * _LANE
     p = jnp.pad(planes, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
