@@ -149,18 +149,19 @@ def compute_disparities(img_l: jnp.ndarray, img_r: jnp.ndarray,
 
     with stage_scope("filter_bilateral"):
         if band and cfg.bilateral_radius <= 8:
-            # per eye (stacking along H would bleed taps across the seam)
+            # one kernel for both eyes (edge-replicated seam spacer)
             from stereo_to_multiview_tpu.ops.postkern import (
-                filter_bilateral_kern)
-            blf = lambda d: filter_bilateral_kern(
-                d, cfg.bilateral_radius, cfg.bilateral_sigma_color,
-                cfg.bilateral_sigma_spatial, cfg.num_disp, interpret)
+                filter_bilateral_kern_lr)
+            disp_l, disp_r = filter_bilateral_kern_lr(
+                disp_l, disp_r, cfg.bilateral_radius,
+                cfg.bilateral_sigma_color, cfg.bilateral_sigma_spatial,
+                cfg.num_disp, interpret)
         else:
             blf = lambda d: ops.filter_bilateral(
                 d, cfg.bilateral_radius, cfg.bilateral_sigma_color,
                 cfg.bilateral_sigma_spatial, cfg.num_disp)
-        disp_l = blf(disp_l)
-        disp_r = blf(disp_r)
+            disp_l = blf(disp_l)
+            disp_r = blf(disp_r)
     return disp_l, disp_r, out_l, out_r
 
 

@@ -384,6 +384,23 @@ def test_bilateral_kern_matches_xla(stereo_pair, rng):
     np.testing.assert_allclose(_np(ref), _np(out), rtol=1e-6, atol=1e-6)
 
 
+def test_bilateral_kern_lr_matches_per_eye(stereo_pair, rng):
+    """Both-eyes bilateral (seam-spacer stacking) == two per-eye calls,
+    bit for bit."""
+    from stereo_to_multiview_tpu.ops.postkern import (
+        filter_bilateral_kern, filter_bilateral_kern_lr)
+    left, _ = stereo_pair
+    h, w = left.shape[:2]
+    dl = jnp.asarray(rng.normal(0, 4, (h, w)).astype(np.float32))
+    dr = jnp.asarray(rng.normal(2, 3, (h, w)).astype(np.float32))
+    ref_l = filter_bilateral_kern(dl, 3, 5.0, 10.0, 12, interpret=True)
+    ref_r = filter_bilateral_kern(dr, 3, 5.0, 10.0, 12, interpret=True)
+    out_l, out_r = filter_bilateral_kern_lr(dl, dr, 3, 5.0, 10.0, 12,
+                                            interpret=True)
+    np.testing.assert_array_equal(_np(ref_l), _np(out_l))
+    np.testing.assert_array_equal(_np(ref_r), _np(out_r))
+
+
 def test_dcc_occl_kern_matches_xla(stereo_pair, rng):
     """Banded-compare DCC/occlusion kernel vs the XLA select-shift ops:
     bit-exact labels and hit masks, including clamped border targets."""
