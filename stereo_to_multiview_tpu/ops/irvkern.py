@@ -17,13 +17,13 @@ kernels fuse the round:
 
 Outlier-sparse skipping: votes only matter at outlier pixels, and IRV
 accepts only shrink the outlier set, so most blocks do nothing after the
-first round or two.  The vote kernel takes a scalar-prefetched per-block
-flag (any outlier among the block's output pixels) and skips the MXU
-work when it is clear, writing zero totals (total=0 can never be
-accepted, matching the discarded value exactly).  The rowspan kernel
-cannot skip: its middle-index 3D store's vector reshape does not lower
-inside a pl.when region ("unsupported shape cast"); the early-stopping
-round loop (ops.band.dr_irv_band_chunked) recovers most of that saving.
+first round or two.  BOTH kernels take scalar-prefetched per-block
+flags: the vote kernel skips H tiles with no outlier among their output
+pixels (zero totals are never accepted), and the rowspan kernel skips
+blocks with no outlier within vertical vote reach (zero spans are read
+only by discarded votes) -- both skips are exact.  The early-stopping
+round loop (ops.band.dr_irv_band_chunked) removes converged rounds
+entirely.
 
 Both kernels are integer-exact, so a full IRV round is bit-identical to
 ops.irv.dr_irv / ops.band.dr_irv_band.
@@ -48,8 +48,9 @@ _PAD = 128    # x padding of the disparity rows (row-pass window reach)
 _HPAD = 64    # H padding of the row-span volume (vote window reach)
 
 
-def _rowspan_kernel(disp_ref, outl_ref, al_ref, ar_ref, out_ref,
-                    *, num_disp: int, zero_disp: int, reach: int):
+def _rowspan_kernel(rflags_ref, disp_ref, outl_ref, al_ref, ar_ref,
+                    out_ref, *, num_disp: int, zero_disp: int, reach: int,
+                    n_xt: int):
     """One (32-row, 256-column) step: out (256x, 32row, B) bf16 row spans.
 
     `reach` is the usd-adaptive window radius (8-multiple >= usd <= 64):
@@ -57,36 +58,51 @@ def _rowspan_kernel(disp_ref, outl_ref, al_ref, ar_ref, out_ref,
     the contraction (the lane-dim loads stay 128-granular; the shrink is
     in the sublane-sliced transposes and the band/one-hot matrices).
 
-    (No per-block skip here: Mosaic cannot lower the middle-index 3D
-    store's vector reshape inside a pl.when region -- "unsupported shape
-    cast" -- so only the vote kernel, whose stores are 2D, skips blocks.)
+    Outlier-sparse skip: a block whose output pixels have NO outlier
+    within vertical vote reach (scalar-prefetched rflags) writes zero
+    spans -- read only by votes at non-outlier pixels, which are always
+    discarded, so the skip is exact.  The stores stack all 32 rows into
+    ONE full-block write: Mosaic rejects the per-row middle-index store
+    inside pl.when ("unsupported shape cast") but lowers the 3D
+    full-block form.
     """
+    yb = pl.program_id(0)
     s = pl.program_id(1)
-    base = pl.multiple_of(s * _XTILE, _LANE)
-    win = _XTILE + 2 * reach
-    d_win = disp_ref[:, pl.ds(base, _XTILE + 2 * _LANE)]   # (R, X+256)
-    o_win = outl_ref[:, pl.ds(base, _XTILE + 2 * _LANE)]
-    # output-pixel arms, sublane-oriented
-    an_t = al_ref[:, pl.ds(base + _PAD, _XTILE)].T     # (Xx, R)
-    ap_t = ar_ref[:, pl.ds(base + _PAD, _XTILE)].T
-    lo = _LANE - reach
-    d_t = d_win.T[lo:lo + win]                         # (win_i, R)
-    o_t = o_win.T[lo:lo + win]
+    flag = rflags_ref[yb * n_xt + s]
 
-    o = jax.lax.broadcasted_iota(jnp.int32, (_XTILE, win), 0)
-    i = jax.lax.broadcasted_iota(jnp.int32, (_XTILE, win), 1)
-    r_off = i - reach - o
-    b_iota = jax.lax.broadcasted_iota(jnp.int32, (win, num_disp), 1)
+    @pl.when(flag != 0)
+    def _compute():
+        base = pl.multiple_of(s * _XTILE, _LANE)
+        win = _XTILE + 2 * reach
+        d_win = disp_ref[:, pl.ds(base, _XTILE + 2 * _LANE)]  # (R, X+256)
+        o_win = outl_ref[:, pl.ds(base, _XTILE + 2 * _LANE)]
+        # output-pixel arms, sublane-oriented
+        an_t = al_ref[:, pl.ds(base + _PAD, _XTILE)].T     # (Xx, R)
+        ap_t = ar_ref[:, pl.ds(base + _PAD, _XTILE)].T
+        lo = _LANE - reach
+        d_t = d_win.T[lo:lo + win]                         # (win_i, R)
+        o_t = o_win.T[lo:lo + win]
 
-    for r in range(_ROWS):
-        an = an_t[:, r:r + 1]
-        ap = ap_t[:, r:r + 1]
-        band = ((r_off >= -an) & (r_off <= ap)).astype(BF16)  # (X, win)
-        dint = d_t[:, r:r + 1].astype(jnp.int32)              # (win_i, 1)
-        reli = o_t[:, r:r + 1] == 0
-        onehot = (reli & (dint + zero_disp == b_iota)).astype(BF16)
-        y_dot = jnp.dot(band, onehot, preferred_element_type=F32)
-        out_ref[:, r, :] = y_dot.astype(BF16)          # exact: <= 129
+        o = jax.lax.broadcasted_iota(jnp.int32, (_XTILE, win), 0)
+        i = jax.lax.broadcasted_iota(jnp.int32, (_XTILE, win), 1)
+        r_off = i - reach - o
+        b_iota = jax.lax.broadcasted_iota(jnp.int32, (win, num_disp), 1)
+
+        rows = []
+        for r in range(_ROWS):
+            an = an_t[:, r:r + 1]
+            ap = ap_t[:, r:r + 1]
+            band = ((r_off >= -an) & (r_off <= ap)).astype(BF16)
+            dint = d_t[:, r:r + 1].astype(jnp.int32)       # (win_i, 1)
+            reli = o_t[:, r:r + 1] == 0
+            onehot = (reli & (dint + zero_disp == b_iota)).astype(BF16)
+            y_dot = jnp.dot(band, onehot, preferred_element_type=F32)
+            rows.append(y_dot.astype(BF16))                # exact: <= 129
+        out_ref[:] = jnp.stack(rows, axis=1)               # (X, R, B)
+
+    @pl.when(flag == 0)
+    def _zero():
+        out_ref[:] = jnp.zeros((_XTILE, _ROWS, num_disp), BF16)
 
 
 def _vote_kernel(vflags_ref, rs_ref, au_ref, ad_ref,
@@ -173,14 +189,20 @@ def irv_round_kern(disp: jnp.ndarray, outliers: jnp.ndarray,
     au = pad_hw(jnp.minimum(arms[UP], usd).astype(jnp.int32), 0)
     ad_ = pad_hw(arms[DOWN].astype(jnp.int32), 0)
 
-    # --- per-block outlier flags for the vote kernel (pads are
-    # non-outliers: their votes are discarded, so blocks they alone touch
-    # can skip) ---
+    # --- per-block outlier flags (pads are non-outliers: their votes are
+    # discarded, so blocks they alone touch can skip) ---
     need = jnp.pad(outliers != 0, ((0, hp - h), (0, wp - w)))
     n_yb, n_xt = hp // _ROWS, wp // _XTILE
     n_xb, n_hseg = wp // _VROWS, hp // _LANE
     m2 = need.reshape(n_hseg, _LANE, n_xb, _VROWS).any(axis=(1, 3)).T
     vflags = m2.astype(jnp.int32).reshape(-1)
+    # rowspan blocks skip when no outlier sits within vertical vote reach
+    # of their output rows: max-pool the (usd-row-padded) outlier map at
+    # the (32-row, 256-col) block grain
+    need_p = jnp.pad(need.astype(jnp.int32), ((usd, usd), (0, 0)))
+    rflags = jax.lax.reduce_window(
+        need_p, 0, jax.lax.max, (_ROWS + 2 * usd, _XTILE),
+        (_ROWS, _XTILE), "valid").reshape(-1)
 
     # x-neighbor reach for the row pass
     dx = jnp.pad(disp_p, ((0, 0), (_PAD, _PAD)))
@@ -188,23 +210,26 @@ def irv_round_kern(disp: jnp.ndarray, outliers: jnp.ndarray,
     alx = jnp.pad(al, ((0, 0), (_PAD, _PAD)))
     arx = jnp.pad(ar, ((0, 0), (_PAD, _PAD)))
 
-    row_spec = pl.BlockSpec((_ROWS, wp + 2 * _PAD), lambda y, s: (y, 0),
+    row_spec = pl.BlockSpec((_ROWS, wp + 2 * _PAD),
+                            lambda y, s, f: (y, 0),
                             memory_space=pltpu.VMEM)
     hoff = _HPAD // _ROWS
     rs = pl.pallas_call(
         functools.partial(_rowspan_kernel, num_disp=num_bins,
-                          zero_disp=zero_disp, reach=reach),
-        grid=(n_yb, n_xt),
-        in_specs=[row_spec] * 4,
-        out_specs=pl.BlockSpec((_XTILE, _ROWS, num_bins),
-                               lambda y, s: (s, y + hoff, 0),
-                               memory_space=pltpu.VMEM),
+                          zero_disp=zero_disp, reach=reach, n_xt=n_xt),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_yb, n_xt),
+            in_specs=[row_spec] * 4,
+            out_specs=pl.BlockSpec((_XTILE, _ROWS, num_bins),
+                                   lambda y, s, f: (s, y + hoff, 0),
+                                   memory_space=pltpu.VMEM)),
         out_shape=jax.ShapeDtypeStruct((wp, hp + 2 * _HPAD, num_bins),
                                        BF16),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
-    )(dx, ox, alx, arx)
+    )(rflags, dx, ox, alx, arx)
 
     # vertical pass + reduce, in the (W, H, B) layout
     au_t = au.T                        # (W, H)
