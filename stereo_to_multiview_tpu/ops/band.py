@@ -906,8 +906,9 @@ def _chunk_bounds(h: int, chunk: int, halo: int):
     `chunk`-row steps: ext row range [start, start + chunk + 2*halo) with
     start clamped to the image, lo_off = where the chunk's first valid row
     sits inside the ext slice.  Uniform sizes keep one compiled kernel
-    shape for every chunk."""
-    ext = min(h, chunk + 2 * halo)
+    shape for every chunk; ext is rounded to the 8-row grain so the
+    aggregation kernels take their zero-copy (unpadded) path."""
+    ext = min(h, -(-(chunk + 2 * halo) // 8) * 8)
     out = []
     for c0 in range(0, h, chunk):
         start = min(max(0, c0 - halo), h - ext)
