@@ -513,12 +513,20 @@ def band_aggregate_q(cost_q: jnp.ndarray, arms: jnp.ndarray, max_arm: int,
     # for pass 4 -- zero full-volume XLA relayouts (round 2 paid two
     # swapaxes + three pads per aggregation, ~8 GB of HBM copies/frame).
     i16 = jnp.int16
+    # transposed in-kernel stores need full 128-lane tiles on D (Mosaic
+    # has no narrow-lane middle-index store); smaller D falls back to
+    # XLA swapaxes between passes (those volumes are 128/D x smaller)
+    out_t = cost_q.shape[-1] % 128 == 0
     kw = dict(rows=rows, otile=otile, halo=halo, interpret=interpret)
     at = _band_pass_h(cost_q, arms[LEFT], arms[RIGHT], mode="int", terms=1,
-                      rescale=s1, out_dtype=i16, out_t=True, **kw)
+                      rescale=s1, out_dtype=i16, out_t=out_t, **kw)
+    if not out_t:
+        at = jnp.swapaxes(at, 0, 1)
     a = _band_pass_vv(at, arms[UP].T, arms[DOWN].T, s2=s2, s3=s3,
                       rows=rows, otile=otile, halo=halo, digits=digits,
-                      out_t=True, interpret=interpret)
+                      out_t=out_t, interpret=interpret)
+    if not out_t:
+        a = jnp.swapaxes(a, 0, 1)
     if zero_disp is None:
         return _band_pass_h(a, arms[LEFT], arms[RIGHT], mode="int",
                             terms=digits, **kw)
@@ -936,6 +944,11 @@ def band_stereo_core_chunked(img_l, img_r, arms_l, arms_r, cfg,
     chunk = cfg.band_row_chunk or h
     halo = 2 * usd
     ext, bounds = _chunk_bounds(h, chunk, halo)
+    # aggregate at a 16-row grain (covers every pass's block-row grain,
+    # so the kernels never fall back to a pad copy): the cost kernel
+    # hands out the extra edge-clamped rows for free, and zero-padded
+    # arms keep them out of every window
+    ext16 = -(-ext // 16) * 16
 
     disp_parts_l, disp_parts_r = [], []
     for start, lo in bounds:
@@ -945,17 +958,20 @@ def band_stereo_core_chunked(img_l, img_r, arms_l, arms_r, cfg,
         c_lo = start - i0                  # cost rows inside the img slice
         cost_l, cost_r = ci_adcensus_kern_xm(
             img_l[sl_img], img_r[sl_img], cfg.ad_coeff, cfg.census_coeff,
-            cfg.num_disp, cfg.zero_disp, quant=True, interpret=interpret)
+            cfg.num_disp, cfg.zero_disp, quant=True,
+            out_rows=c_lo + ext16, interpret=interpret)
 
         # per-eye aggregation: no 2x-volume eye concat (a full HBM copy);
         # the exact integer arithmetic makes per-eye == stacked anyway
         sl = slice(start, start + ext)
         n_valid = min(chunk, h - (start + lo))
         v = slice(lo, lo + n_valid)
+        zrows = ((0, ext16 - ext),)
         for cost, arms, parts in ((cost_l, arms_l, disp_parts_l),
                                   (cost_r, arms_r, disp_parts_r)):
+            arms16 = jnp.pad(arms[:, sl], ((0, 0), *zrows, (0, 0)))
             disp = band_aggregate_q(
-                cost[c_lo:c_lo + ext], arms[:, sl], usd,
+                cost[c_lo:c_lo + ext16], arms16, usd,
                 zero_disp=cfg.zero_disp,
                 digits=getattr(cfg, "band_digits", 2),
                 interpret=interpret)

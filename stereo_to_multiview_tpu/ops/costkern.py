@@ -296,14 +296,21 @@ def _cost_planes_xm(img_l, img_r, h, w, hp, wp):
 
 @functools.partial(jax.jit, static_argnames=("num_disp", "zero_disp",
                                              "ad_coeff", "census_coeff",
-                                             "quant", "interpret"))
+                                             "quant", "out_rows",
+                                             "interpret"))
 def ci_adcensus_kern_xm(img_l: jnp.ndarray, img_r: jnp.ndarray,
                         ad_coeff: float, census_coeff: float,
                         num_disp: int, zero_disp: int, quant: bool = True,
+                        out_rows: int | None = None,
                         interpret: bool = False):
     """(H, W, 3) u8 pair -> ((H, W, D), (H, W, D)) cost volumes via the
     x-major kernel -- bit-identical to ci_adcensus_kern (same integer
     AD/census arithmetic, same f32 exp combine, layout only).
+
+    out_rows > H returns that many rows (<= the kernel's 128-padded
+    height); the extra rows hold edge-clamped-image costs -- the
+    aggregation kernels consume 16-aligned heights (int16 sublane
+    tiling) and this hands them out for free instead of a pad copy.
 
     Requires max(zero_disp, num_disp - zero_disp) <= 128 (one x-block of
     window reach each side)."""
@@ -313,7 +320,11 @@ def ci_adcensus_kern_xm(img_l: jnp.ndarray, img_r: jnp.ndarray,
     h, w = img_l.shape[:2]
     hp = -(-h // _YL) * _YL
     wp = -(-w // _XT) * _XT
-    args = _cost_planes_xm(img_l, img_r, h, w, hp, wp)
+    if out_rows is not None:
+        if out_rows > hp:
+            raise ValueError("out_rows exceeds the kernel's padded height")
+        h = out_rows
+    args = _cost_planes_xm(img_l, img_r, img_l.shape[0], w, hp, wp)
     grid = (wp // _XT, hp // _YL)
 
     own_spec = pl.BlockSpec((_XT, _YL), lambda x, y: (x + 1, y),

@@ -197,12 +197,19 @@ def irv_round_kern(disp: jnp.ndarray, outliers: jnp.ndarray,
     m2 = need.reshape(n_hseg, _LANE, n_xb, _VROWS).any(axis=(1, 3)).T
     vflags = m2.astype(jnp.int32).reshape(-1)
     # rowspan blocks skip when no outlier sits within vertical vote reach
-    # of their output rows: max-pool the (usd-row-padded) outlier map at
-    # the (32-row, 256-col) block grain
-    need_p = jnp.pad(need.astype(jnp.int32), ((usd, usd), (0, 0)))
-    rflags = jax.lax.reduce_window(
-        need_p, 0, jax.lax.max, (_ROWS + 2 * usd, _XTILE),
-        (_ROWS, _XTILE), "valid").reshape(-1)
+    # of their output rows: block-any at the (32-row, 256-col) grain,
+    # then dilate by ceil(usd/32) block rows with shifted ORs (an
+    # over-approximation of the exact +-usd reach -- extra flagged
+    # blocks just compute spans nobody reads; reduce_window blew the
+    # 4K scoped-vmem budget)
+    blk = need.reshape(n_yb, _ROWS, n_xt, _XTILE).any(axis=(1, 3))
+    r_reach = -(-usd // _ROWS)
+    dil = blk
+    for k in range(1, r_reach + 1):
+        up = jnp.pad(blk[k:], ((0, k), (0, 0)))
+        dn = jnp.pad(blk[:-k], ((k, 0), (0, 0)))
+        dil = dil | up | dn
+    rflags = dil.astype(jnp.int32).reshape(-1)
 
     # x-neighbor reach for the row pass
     dx = jnp.pad(disp_p, ((0, 0), (_PAD, _PAD)))
