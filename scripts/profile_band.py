@@ -142,6 +142,21 @@ def main():
         timed("ci_adcensus_kern_xm", lambda l, r: ci_adcensus_kern_xm(
             l, r, cfg.ad_coeff, cfg.census_coeff, cfg.num_disp,
             cfg.zero_disp, quant=True, interpret=interp), img_l, img_r)
+    if W("costx2"):
+        # two-eye variant (no shear extraction): the round-3 A/B
+        from stereo_to_multiview_tpu.ops.costkern import ci_adcensus_kern_xm
+        timed("ci_adcensus_kern_xm noshear", lambda l, r: ci_adcensus_kern_xm(
+            l, r, cfg.ad_coeff, cfg.census_coeff, cfg.num_disp,
+            cfg.zero_disp, quant=True, shear=False, interpret=interp),
+            img_l, img_r)
+    if W("costxa"):
+        # exp ablation (wrong values, timing only): isolates the
+        # transcendental share of the cost kernel
+        from stereo_to_multiview_tpu.ops.costkern import ci_adcensus_kern_xm
+        timed("ci_adcensus_kern_xm noexp", lambda l, r: ci_adcensus_kern_xm(
+            l, r, cfg.ad_coeff, cfg.census_coeff, cfg.num_disp,
+            cfg.zero_disp, quant=True, ablate_exp=True, interpret=interp),
+            img_l, img_r)
     if W("aggsweep"):
         # aggregation tile-shape sweep: cost init is recomputed inside each
         # timed graph (holding batched cost volumes would blow HBM at

@@ -32,6 +32,12 @@ from stereo_to_multiview_tpu import ops
 F32 = jnp.float32
 
 
+# When True, Pallas kernels lower to real Mosaic even on the CPU backend
+# (chipless AOT compile checks, scripts/aot_check.py); never set in a
+# graph that will actually execute on CPU.
+FORCE_MOSAIC = False
+
+
 def _use_band(cfg: PipelineConfig) -> bool:
     """Resolve the engine choice at trace time.  'auto' uses the banded-MXU
     Pallas kernels on TPU only: CPU runs the pure-XLA path (interpret-mode
@@ -71,7 +77,7 @@ def compute_disparities(img_l: jnp.ndarray, img_r: jnp.ndarray,
     disp_r) float32 plus the outlier labels (debug/metrics surface)."""
     from stereo_to_multiview_tpu.utils.profiling import stage_scope
     band = _use_band(cfg)
-    interpret = jax.default_backend() == "cpu"
+    interpret = jax.default_backend() == "cpu" and not FORCE_MOSAIC
 
     with stage_scope("ca_cross_arms"):
         if band and cfg.usd <= 64:
@@ -180,7 +186,7 @@ def synthesize_views(img_l, img_r, disp_l, disp_r, cfg: PipelineConfig):
     from stereo_to_multiview_tpu.utils.profiling import stage_scope
 
     band = _use_band(cfg)
-    interpret = jax.default_backend() == "cpu"
+    interpret = jax.default_backend() == "cpu" and not FORCE_MOSAIC
     with stage_scope("dibr_occl"):
         if band:
             from stereo_to_multiview_tpu.ops.postkern import dcc_occl_kern

@@ -108,6 +108,18 @@ def _terms(x, mode: str, terms: int):
     return out
 
 
+def _band01(roff, an, ap, inclusive: bool):
+    """Exact 0/1 bf16 band matrix in ONE wide compare: -an <= roff < ap
+    (or <= ap) is 0 <= roff + an < an + ap (+1), and with arms >= 0 the
+    unsigned reinterpretation makes the lower bound free (negative
+    roff + an wraps far above any arm sum).  One add + one compare +
+    one select instead of two compares + and + select -- the band build
+    is the issue-bound aggregation kernels' largest VPU term."""
+    t = (roff + an).astype(jnp.uint32)
+    s = (an + ap + (1 if inclusive else 0)).astype(jnp.uint32)
+    return (t < s).astype(BF16)
+
+
 def _tiles_for(w: int, otile: int, halo: int):
     """Static output tiles ((a0, width, lo_trim, hi_trim), ...) covering
     [0, w): `otile`-wide plus a remainder (widths stay 8-multiples when w
@@ -161,11 +173,7 @@ def _res_kernel(an_ref, ap_ref, vol_ref, out_ref, *, inclusive: bool,
         for r in range(rows):
             an = an_all[a0:a0 + width, r:r + 1]      # (width, 1)
             ap = ap_all[a0:a0 + width, r:r + 1]
-            if inclusive:
-                band = (roff >= -an) & (roff <= ap)
-            else:
-                band = (roff >= -an) & (roff < ap)
-            a = band.astype(BF16)[:, lo:win - hi]    # exact 0/1
+            a = _band01(roff, an, ap, inclusive)[:, lo:win - hi]
             x = vol_ref[r, a0 - halo + lo:a0 + width + halo - hi, :]
             y = None
             for part, scale in _terms(x, mode, terms):
@@ -345,7 +353,7 @@ def _vv_kernel(an_ref, ap_ref, vol_ref, out_ref, *scratch, s2: int,
             roff = roffs[width]
             an = an_all[a0:a0 + width, r:r + 1]
             ap = ap_all[a0:a0 + width, r:r + 1]
-            band = ((roff >= -an) & (roff < ap)).astype(BF16)
+            band = _band01(roff, an, ap, False)
             pass2(a0, width, band, lo_t, hi_t, r)
             if prev is not None:
                 pass3(*prev, r)
@@ -664,7 +672,7 @@ def _pass1_dm_kernel(arms_ref, vol_ref, out_ref, *,
             x = vol_ref[:, r, a0:a0 + width + 2 * _HALO]   # (2D, win)
             for e in range(2):
                 an, ap = _dm_unpack_arms(arms_ref, r, a0, width, e)
-                band = ((ioff >= -an) & (ioff < ap)).astype(BF16)
+                band = _band01(ioff, an, ap, False)
                 xe = x[e * num_disp:(e + 1) * num_disp]
                 y = jnp.dot(xe, band, preferred_element_type=F32)
                 out_ref[e * num_disp:(e + 1) * num_disp, r,
@@ -698,7 +706,7 @@ def _vv_dm_kernel(arms_ref, vol_ref, out_ref, lo_ref, hi_ref, *,
             lo, hi = _dm_digits(x)
             for e in range(2):
                 an, ap = _dm_unpack_arms(arms_ref, r, a0, width, e)
-                band = ((ioff >= -an) & (ioff < ap)).astype(BF16)
+                band = _band01(ioff, an, ap, False)
                 sl = slice(e * num_disp, (e + 1) * num_disp)
                 y = (jnp.dot(lo[sl], band, preferred_element_type=F32)
                      + jnp.dot(hi[sl], band,
@@ -718,7 +726,7 @@ def _vv_dm_kernel(arms_ref, vol_ref, out_ref, lo_ref, hi_ref, *,
             hi = hi_ref[:, r, a0:a0 + width + 4 * _HALO]
             for e in range(2):
                 an, ap = _dm_unpack_arms(arms_ref, r, a0, width, e)
-                band = ((ioff >= -an) & (ioff < ap)).astype(BF16)
+                band = _band01(ioff, an, ap, False)
                 sl = slice(e * num_disp, (e + 1) * num_disp)
                 y = (jnp.dot(lo[sl], band, preferred_element_type=F32)
                      + jnp.dot(hi[sl], band,
@@ -743,7 +751,7 @@ def _pass4_dm_kernel(arms_ref, vol_ref, outl_ref, outr_ref, *,
             for e, out_ref in enumerate((outl_ref, outr_ref)):
                 sl = slice(e * num_disp, (e + 1) * num_disp)
                 an, ap = _dm_unpack_arms(arms_ref, r, a0, width, e)
-                band = ((ioff >= -an) & (ioff < ap)).astype(BF16)
+                band = _band01(ioff, an, ap, False)
                 y = (jnp.dot(lo[sl], band, preferred_element_type=F32)
                      + jnp.dot(hi[sl], band,
                                preferred_element_type=F32) * F32(256.0))

@@ -245,11 +245,14 @@ _YL = 128    # image rows per grid step (lane axis)
 
 
 def _cost_kernel_xm(*refs, num_disp: int, zero_disp: int, sign: int,
-                    inv_ad: float, inv_cen: float, quant: bool):
+                    inv_ad: float, inv_cen: float, quant: bool,
+                    ablate_exp: bool = False):
     """One (128-x, 128-row) step for ONE eye.  refs: own b/g/r + census
     w0/w1 center blocks (5 x (XT, YL) i32), then the other eye's 5 planes
     as 3 consecutive x-blocks each (15 refs); out (D, XT, YL).
-    sign=+1: left eye (reads other at x + (d - zd)); -1: right."""
+    sign=+1: left eye (reads other at x + (d - zd)); -1: right.
+    ablate_exp replaces the two exps with a linear combine -- WRONG
+    values, measurement-only (isolates the transcendental cost)."""
     own = [r_[:] for r_ in refs[:5]]
     oth = [jnp.concatenate([refs[5 + 3 * p][:], refs[6 + 3 * p][:],
                             refs[7 + 3 * p][:]], axis=0)
@@ -263,8 +266,12 @@ def _cost_kernel_xm(*refs, num_disp: int, zero_disp: int, sign: int,
               + jnp.abs(own[2] - oth[2][off:off + _XT]))
         ham = (_popcount(own[3] ^ oth[3][off:off + _XT])
                + _popcount(own[4] ^ oth[4][off:off + _XT]))
-        cost = ((F32(1.0) - jnp.exp(-(ad.astype(F32) * third) * inv_ad))
-                + (F32(1.0) - jnp.exp(-ham.astype(F32) * inv_cen)))
+        if ablate_exp:
+            cost = ((ad.astype(F32) * third) * inv_ad
+                    + ham.astype(F32) * inv_cen)
+        else:
+            cost = ((F32(1.0) - jnp.exp(-(ad.astype(F32) * third) * inv_ad))
+                    + (F32(1.0) - jnp.exp(-ham.astype(F32) * inv_cen)))
         if quant:
             cost = jnp.rint(cost * F32(_QSCALE))
         out_ref[d] = cost.astype(out_ref.dtype)
@@ -294,18 +301,51 @@ def _cost_planes_xm(img_l, img_r, h, w, hp, wp):
     return planes(img_l, cen_l) + planes(img_r, cen_r)
 
 
+def _shear_kernel_xm(r0, r1, r2, out_ref, *, num_disp: int,
+                     zero_disp: int):
+    """out_r(d, x, y) = P(d, x - (d - zd), y): per-d static SUBLANE
+    slices over three consecutive x-blocks of the extended pair volume.
+    In the x-major layout this shear is plain data movement (the
+    row-major variant needed an f32 lane roll per d and lost,
+    ci_adcensus_kern docstring)."""
+    for d in range(num_disp):
+        k = d - zero_disp
+        if k > 0:
+            out_ref[d] = jnp.concatenate(
+                [r0[d, _XT - k:], r1[d, :_XT - k]], axis=0)
+        elif k < 0:
+            out_ref[d] = jnp.concatenate(
+                [r1[d, -k:], r2[d, :-k]], axis=0)
+        else:
+            out_ref[d] = r1[d]
+
+
 @functools.partial(jax.jit, static_argnames=("num_disp", "zero_disp",
                                              "ad_coeff", "census_coeff",
                                              "quant", "out_rows",
+                                             "shear", "ablate_exp",
                                              "interpret"))
 def ci_adcensus_kern_xm(img_l: jnp.ndarray, img_r: jnp.ndarray,
                         ad_coeff: float, census_coeff: float,
                         num_disp: int, zero_disp: int, quant: bool = True,
-                        out_rows: int | None = None,
+                        out_rows: int | None = None, shear: bool = True,
+                        ablate_exp: bool = False,
                         interpret: bool = False):
     """(H, W, 3) u8 pair -> ((H, W, D), (H, W, D)) cost volumes via the
     x-major kernel -- bit-identical to ci_adcensus_kern (same integer
     AD/census arithmetic, same f32 exp combine, layout only).
+
+    shear=True (default): ONE pair volume P(x', k) = cost(L(x'),
+    R(x' + k)) is computed over the extended range x' in [-128, wp+128)
+    and both eyes are extracted from it -- cost_l(x, d) = P(x, d - zd)
+    is a slice and cost_r(x, d) = P(x - (d - zd), d - zd) is a per-d
+    sublane shift (d_ci_ad.cu:133-144 symmetry).  The extension makes
+    the border clamp exact for both eyes: at x' outside the image, L
+    reads clamp to the edge column exactly as the right-eye kernel's
+    L(clamp(x - k)) would, and R reads stay in-image wherever an
+    in-image output consumes them -- so the result is bit-identical to
+    the two-eye path while doing ~53% of its arithmetic (grid widens by
+    2 blocks; the shear is bandwidth-only).
 
     out_rows > H returns that many rows (<= the kernel's 128-padded
     height); the extra rows hold edge-clamped-image costs -- the
@@ -313,7 +353,8 @@ def ci_adcensus_kern_xm(img_l: jnp.ndarray, img_r: jnp.ndarray,
     tiling) and this hands them out for free instead of a pad copy.
 
     Requires max(zero_disp, num_disp - zero_disp) <= 128 (one x-block of
-    window reach each side)."""
+    window reach each side); shear additionally requires <= 64 (the
+    extended volume keeps one block of margin per side)."""
     if num_disp > 128 or zero_disp > 128:
         raise ValueError("ci_adcensus_kern supports num_disp/zero_disp "
                          "<= 128")
@@ -325,17 +366,70 @@ def ci_adcensus_kern_xm(img_l: jnp.ndarray, img_r: jnp.ndarray,
             raise ValueError("out_rows exceeds the kernel's padded height")
         h = out_rows
     args = _cost_planes_xm(img_l, img_r, img_l.shape[0], w, hp, wp)
-    grid = (wp // _XT, hp // _YL)
 
     own_spec = pl.BlockSpec((_XT, _YL), lambda x, y: (x + 1, y),
                             memory_space=pltpu.VMEM)
     oth_specs = [pl.BlockSpec((_XT, _YL), lambda x, y, d=d: (x + d, y),
                               memory_space=pltpu.VMEM)
                  for d in range(3)]
+    out_dt = jnp.bfloat16 if quant else jnp.float32
+    shear = shear and max(zero_disp, num_disp - zero_disp) <= _XT // 2
+
+    if shear:
+        # pair volume P over x' in [-_XT, wp + _XT): the left-eye kernel
+        # with the grid shifted one block left and widened by two.  Own
+        # planes already carry _XT edge pad (index x instead of x + 1);
+        # other-eye planes get one extra block of edge pad per side.
+        own = args[:5]
+        oth = [jnp.pad(p, ((_XT, _XT), (0, 0)), mode="edge")
+               for p in args[5:]]
+        own_spec0 = pl.BlockSpec((_XT, _YL), lambda x, y: (x, y),
+                                 memory_space=pltpu.VMEM)
+        in_refs = own + [p for p in oth for _ in range(3)]
+        in_specs = [own_spec0] * 5 + [oth_specs[d] for _ in range(5)
+                                      for d in range(3)]
+        wpe = wp + 2 * _XT
+        pair = pl.pallas_call(
+            functools.partial(_cost_kernel_xm, num_disp=num_disp,
+                              zero_disp=zero_disp, sign=1,
+                              inv_ad=float(1.0 / ad_coeff),
+                              inv_cen=float(1.0 / census_coeff),
+                              quant=quant, ablate_exp=ablate_exp),
+            grid=(wpe // _XT, hp // _YL),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((num_disp, _XT, _YL),
+                                   lambda x, y: (0, x, y),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((num_disp, wpe, hp), out_dt),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")),
+            interpret=interpret,
+        )(*in_refs)
+        vol_r = pl.pallas_call(
+            functools.partial(_shear_kernel_xm, num_disp=num_disp,
+                              zero_disp=zero_disp),
+            grid=(wp // _XT, hp // _YL),
+            in_specs=[pl.BlockSpec((num_disp, _XT, _YL),
+                                   lambda x, y, d=d: (0, x + d, y),
+                                   memory_space=pltpu.VMEM)
+                      for d in range(3)],
+            out_specs=pl.BlockSpec((num_disp, _XT, _YL),
+                                   lambda x, y: (0, x, y),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((num_disp, wp, hp), out_dt),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+                vmem_limit_bytes=96 * 1024 * 1024),
+            interpret=interpret,
+        )(pair, pair, pair)
+        # (D, W, H) -> (H, W, D): one bandwidth-bound XLA relayout each
+        out_l = jnp.transpose(pair[:, _XT:_XT + wp], (2, 1, 0))[:h, :w]
+        out_r = jnp.transpose(vol_r, (2, 1, 0))[:h, :w]
+        return out_l, out_r
+
+    grid = (wp // _XT, hp // _YL)
     out_spec = pl.BlockSpec((num_disp, _XT, _YL), lambda x, y: (0, x, y),
                             memory_space=pltpu.VMEM)
-    out_dt = jnp.bfloat16 if quant else jnp.float32
-
     outs = []
     for eye, sign in (("l", 1), ("r", -1)):
         own = args[:5] if eye == "l" else args[5:]
@@ -348,7 +442,7 @@ def ci_adcensus_kern_xm(img_l: jnp.ndarray, img_r: jnp.ndarray,
                               zero_disp=zero_disp, sign=sign,
                               inv_ad=float(1.0 / ad_coeff),
                               inv_cen=float(1.0 / census_coeff),
-                              quant=quant),
+                              quant=quant, ablate_exp=ablate_exp),
             grid=grid,
             in_specs=in_specs,
             out_specs=out_spec,

@@ -38,6 +38,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from stereo_to_multiview_tpu.ops.band import _band01
+
 F32 = jnp.float32
 BF16 = jnp.bfloat16
 _LANE = 128
@@ -92,7 +94,7 @@ def _rowspan_kernel(rflags_ref, disp_ref, outl_ref, al_ref, ar_ref,
         for r in range(_ROWS):
             an = an_t[:, r:r + 1]
             ap = ap_t[:, r:r + 1]
-            band = ((r_off >= -an) & (r_off <= ap)).astype(BF16)
+            band = _band01(r_off, an, ap, True)
             dint = d_t[:, r:r + 1].astype(jnp.int32)       # (win_i, 1)
             reli = o_t[:, r:r + 1] == 0
             onehot = (reli & (dint + zero_disp == b_iota)).astype(BF16)
@@ -136,7 +138,7 @@ def _vote_kernel(vflags_ref, rs_ref, au_ref, ad_ref,
             for r in range(_VROWS):
                 an = au_all[a0:a0 + _LANE, r:r + 1]
                 ap = ad_all[a0:a0 + _LANE, r:r + 1]
-                band = ((r_off >= -an) & (r_off <= ap)).astype(BF16)
+                band = _band01(r_off, an, ap, True)
                 x = rs_ref[r, x0:x0 + win, :]
                 if s == 0 or s == n_hseg - 1:
                     valid = ((x0 + j >= _HPAD) & (x0 + j < _HPAD + hp))

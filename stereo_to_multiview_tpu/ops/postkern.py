@@ -157,11 +157,20 @@ def _arms_kernel(row0_ref, b0, b1, b2, up_ref, dn_ref, *, usd: int,
     The walk is evaluated as arm = min(A, B): A = number of k whose
     color tests all passed before them (alive is monotone), B = the
     in-bounds reach clamp(border_dist, 0, usd) -- exactly the quirky
-    sum above, with the per-k bounds test hoisted out of the loop.  The
-    color arithmetic runs in bf16 (u8 values and their diffs are <= 255,
-    bf16-exact; thresholds 6/20 exact) at twice the VPU lane density of
-    the round-2 i32 formulation; the k <= lsd previous-pixel test reads
-    a precomputed neighbor-diff plane (one slice instead of five ops).
+    sum above, with the per-k bounds test hoisted out of the loop.
+
+    Round-3 formulation: the anchor-vs-walked compare is SYMMETRIC
+    (maxdiff(row j, row j+k) serves DOWN at anchor j and UP at anchor
+    j+k), so one per-k plane F_k over rows [R-usd, 2R) feeds both
+    directions as sublane slices -- halving the color arithmetic.  The
+    alive/count chain is replaced by a running prefix-max of
+    g_k = compare_k - threshold_k (monotone failure <=> G_k > 0), so
+    arm = 1 + sum_{k<usd} [G_k <= 0]: one bf16 max + one compare + one
+    add per (k, direction), and the last iteration's compare vanishes
+    (its failure is never observable -- the reference writes the arm
+    before testing, d_ca_cross.cu:41-69).  All values are integers
+    <= 255 with integer thresholds, exact in bf16; the compares/counts
+    stay f32 (this Mosaic has no bf16 vector compares).
     """
     y = pl.program_id(0)
     full = jnp.concatenate([b0[:], b1[:], b2[:]], axis=1)  # (3, 3R, WP)
@@ -171,36 +180,39 @@ def _arms_kernel(row0_ref, b0, b1, b2, up_ref, dn_ref, *, usd: int,
     # the working set register-resident
     tw = 2 * _LANE if wp % (2 * _LANE) == 0 else _LANE
     for x0 in range(0, wp, tw):
-        # diffs/maxes run in bf16 (u8 values and diffs <= 255 are
-        # bf16-exact, 2x the VPU lane density); the threshold compares,
-        # the alive mask, and the count stay f32/(8,128)-layout -- this
-        # Mosaic has neither bf16 vector compares nor i1 relayouts
-        # between the (8,128) and (16,128) packings
         blk = full[:, :, x0:x0 + tw].astype(jnp.bfloat16)  # (3, 3R, tw)
         # ndm[j] = max_c |row j - row j+1|: the k<=lsd "previous pixel"
         # diff for every (r, k, dy) is one sublane slice of this plane
         d01 = jnp.abs(blk[:, :-1] - blk[:, 1:])
         ndm = jnp.maximum(jnp.maximum(d01[0], d01[1]), d01[2])
-        anc = blk[:, rows:2 * rows]                        # (3, rows, tw)
+        base = blk[:, rows - usd:2 * rows]           # (3, R + usd, tw)
         g_y = (jax.lax.broadcasted_iota(jnp.int32, (rows, tw), 0)
                + y * rows + row0_ref[0])
-        for dy, out_ref in ((-1, up_ref), (1, dn_ref)):
-            count = jnp.zeros((rows, tw), F32)
-            alive = jnp.ones((rows, tw), jnp.bool_)
-            for k in range(1, usd + 1):
-                o = rows + dy * k
-                count = count + jnp.where(alive, F32(1.0), F32(0.0))
-                cur = blk[:, o:o + rows]
-                ac = jnp.maximum(jnp.maximum(jnp.abs(cur[0] - anc[0]),
-                                             jnp.abs(cur[1] - anc[1])),
-                                 jnp.abs(cur[2] - anc[2]))
-                if k <= lsd:
-                    cp = ndm[o - 1 if dy > 0 else o:][:rows]
-                    big = jnp.maximum(ac, cp)   # (x>t)|(y>t) = max>t
-                    fail = big.astype(F32) > F32(lcd)
-                else:
-                    fail = ac.astype(F32) > F32(ucd)
-                alive = alive & ~fail
+        count_up = jnp.ones((rows, tw), F32)
+        count_dn = jnp.ones((rows, tw), F32)
+        g_up = g_dn = None
+        for k in range(1, usd):
+            walked = blk[:, rows - usd + k:2 * rows + k]
+            fk = jnp.maximum(
+                jnp.maximum(jnp.abs(base[0] - walked[0]),
+                            jnp.abs(base[1] - walked[1])),
+                jnp.abs(base[2] - walked[2]))        # (R + usd, tw)
+            if k <= lsd:
+                t = jnp.bfloat16(lcd)
+                gd = jnp.maximum(fk[usd:],
+                                 ndm[rows + k - 1:2 * rows + k - 1]) - t
+                gu = jnp.maximum(fk[usd - k:2 * usd - k + rows][:rows],
+                                 ndm[rows - k:2 * rows - k]) - t
+            else:
+                gf = fk - jnp.bfloat16(ucd)
+                gd = gf[usd:]
+                gu = gf[usd - k:usd - k + rows]
+            g_dn = gd if g_dn is None else jnp.maximum(g_dn, gd)
+            g_up = gu if g_up is None else jnp.maximum(g_up, gu)
+            count_dn = count_dn + (g_dn.astype(F32) <= F32(0.0))
+            count_up = count_up + (g_up.astype(F32) <= F32(0.0))
+        for dy, out_ref, count in ((-1, up_ref, count_up),
+                                   (1, dn_ref, count_dn)):
             bound = jnp.clip(g_y if dy < 0 else g_h - 1 - g_y, 0, usd)
             out_ref[:, x0:x0 + tw] = jnp.minimum(
                 count.astype(jnp.int32), bound)

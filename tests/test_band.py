@@ -185,10 +185,12 @@ def test_ci_adcensus_kern_xm_matches_row_major(stereo_pair):
     for quant in (True, False):
         ref_l, ref_r = ci_adcensus_kern(l, r, 10.0, 30.0, 12, 6,
                                         quant=quant, interpret=True)
-        out_l, out_r = ci_adcensus_kern_xm(l, r, 10.0, 30.0, 12, 6,
-                                           quant=quant, interpret=True)
-        np.testing.assert_array_equal(_np(ref_l), _np(out_l))
-        np.testing.assert_array_equal(_np(ref_r), _np(out_r))
+        for shear in (False, True):
+            out_l, out_r = ci_adcensus_kern_xm(l, r, 10.0, 30.0, 12, 6,
+                                               quant=quant, shear=shear,
+                                               interpret=True)
+            np.testing.assert_array_equal(_np(ref_l), _np(out_l))
+            np.testing.assert_array_equal(_np(ref_r), _np(out_r))
 
 
 def test_chunked_core_matches_unchunked(stereo_pair):
