@@ -174,9 +174,9 @@ def main():
                                             interpret=interp, rows=rows,
                                             otile=otile, digits=digits)
                          for c, a in ((cl, al), (cr, ar)))
-        for rows, otile, digits in ((8, 512, 2), (16, 256, 2),
-                                    (16, 512, 2), (8, 256, 1), (8, 512, 1),
-                                    (16, 512, 1), (8, 1024, 2)):
+        for rows, otile, digits in ((8, 128, 2), (16, 128, 2), (8, 256, 2),
+                                    (8, 512, 2), (16, 256, 2), (8, 256, 1),
+                                    (8, 128, 1)):
             timed(f"cost+agg r{rows} t{otile} d{digits}",
                   lambda l, r, al, ar, rw=rows, ot=otile, dg=digits:
                   agg(l, r, al, ar, rw, ot, dg),

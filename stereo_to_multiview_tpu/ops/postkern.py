@@ -101,12 +101,17 @@ def _dcc_kernel(dl_ref, dr_ref, out_l_ref, out_r_ref, *, n_tiles: int,
         i_abs = (i - reach + x0)[:, 0:1, :]              # (1, 1, win)
         valid = (i_abs >= 0) & (i_abs < w)
 
-        # scatter hit: any in-image writer whose clamped target is o
-        tl = jnp.clip(i_abs + dl_wi[:, None, :], 0, w - 1)  # (R, 1->, win)
-        tr = jnp.clip(i_abs - dr_wi[:, None, :], 0, w - 1)
+        # scatter hit: any in-image writer whose clamped target is o.
+        # Out-of-image writers get target -1 on the SMALL (R, 1, win)
+        # tensor (one compare saved on the broadcast (R, 128, win) one:
+        # every o_abs is >= 0, so -1 never matches).
+        tl = jnp.where(valid, jnp.clip(i_abs + dl_wi[:, None, :],
+                                       0, w - 1), -1)       # (R, 1, win)
+        tr = jnp.where(valid, jnp.clip(i_abs - dr_wi[:, None, :],
+                                       0, w - 1), -1)
         o_abs = o + x0
-        hit_r = jnp.any(valid & (tl == o_abs), axis=2)      # (rows, 128)
-        hit_l = jnp.any(valid & (tr == o_abs), axis=2)
+        hit_r = jnp.any(tl == o_abs, axis=2)                # (rows, 128)
+        hit_l = jnp.any(tr == o_abs, axis=2)
 
         if not with_labels:
             out_r_ref[:, x0:x0 + _LANE] = hit_r.astype(jnp.int32)
