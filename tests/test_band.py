@@ -191,6 +191,15 @@ def test_ci_adcensus_kern_xm_matches_row_major(stereo_pair):
                                                interpret=True)
             np.testing.assert_array_equal(_np(ref_l), _np(out_l))
             np.testing.assert_array_equal(_np(ref_r), _np(out_r))
+    # asymmetric zero_disp exercises the shear's one-sided border clamp
+    for nd, zd in ((16, 0), (16, 12)):
+        ref_l, ref_r = ci_adcensus_kern(l, r, 10.0, 30.0, nd, zd,
+                                        quant=True, interpret=True)
+        out_l, out_r = ci_adcensus_kern_xm(l, r, 10.0, 30.0, nd, zd,
+                                           quant=True, shear=True,
+                                           interpret=True)
+        np.testing.assert_array_equal(_np(ref_l), _np(out_l))
+        np.testing.assert_array_equal(_np(ref_r), _np(out_r))
 
 
 def test_chunked_core_matches_unchunked(stereo_pair):
