@@ -119,6 +119,16 @@ def main():
         timed("cross_arms_kern_lr", lambda l, r: cross_arms_kern_lr(
             l, r, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd, interpret=interp),
             img_l, img_r)
+    if W("armsweep"):
+        # walk-axis rows per grid step (the F_k-sharing rewrite shifts
+        # the optimum: bigger blocks amortize the shared compare plane)
+        from stereo_to_multiview_tpu.ops.postkern import _arms_vertical
+        planes = jnp.moveaxis(img_l.astype(jnp.int32), 2, 0)
+        for r_ in (40, 64, 128):
+            timed(f"arms_vertical rows={r_}",
+                  lambda p, r2=r_: _arms_vertical(
+                      p, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd, rows=r2,
+                      interpret=interp), planes)
     if W("armsxla"):
         timed("cross_arms(xla) x2", lambda l, r: (
             ops.cross_arms(l, cfg.ucd, cfg.lcd, cfg.usd, cfg.lsd),
