@@ -5,8 +5,8 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Input: the bundled fish sequence (reference fixtures, tests/data/) --
-consecutive frames as a stereo pair, nearest-upscaled 3x to 1920x1152 and
-cropped to 1080 rows.  Real content, unlike the round-1/2 smoothed noise:
+consecutive frames as a stereo pair, bilinearly upscaled 3x to 1920x1152
+and cropped to 1080 rows.  Real content, unlike the round-1/2 smoothed noise:
 IRV's early-stop and the dcc outlier sparsity behave as they do on real
 footage, so the number tracks production behavior (VERDICT r2 item 3).
 

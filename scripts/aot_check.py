@@ -23,6 +23,9 @@ import jax  # noqa: E402
 # plugin (env vars are ignored); the config update MUST precede any
 # backend use or the first array op hangs on a wedged relay.
 jax.config.update("jax_platforms", "cpu")
+# AOT compiles write the persistent cache too: repeated checks of an
+# unchanged graph load in seconds.
+jax.config.update("jax_compilation_cache_dir", ".jax_cache")
 
 
 def _topology():
@@ -66,12 +69,63 @@ def _frame_phase(cfg, name):
     check_fn(lambda x: pipeline.process_frame(x, cfg), (sbs,), name)
 
 
+def _multichip_phase(cfg_name="HD1080_D128", tag="1080p"):
+    """Compile the halo+band shard graph for a REAL 4-chip v5e topology
+    (SPMD + Mosaic through the actual TPU compiler -- a stronger scaling
+    artifact than the virtual CPU mesh, which lowers Pallas in interpret
+    mode).  Prints the collective mix of the per-device module."""
+    import collections
+    import re
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from stereo_to_multiview_tpu import config as cfgmod
+    from stereo_to_multiview_tpu.models import pipeline
+    from stereo_to_multiview_tpu.parallel.halo import halo_process_frame
+
+    pipeline.FORCE_MOSAIC = True
+    _, tp = _topology()
+    mesh = Mesh(np.array(tp.devices), ("row",))
+    cfg = getattr(cfgmod, cfg_name).replace(engine="band")
+    fn = halo_process_frame(mesh, cfg)
+    sbs = jax.ShapeDtypeStruct(
+        (cfg.num_rows, 2 * cfg.num_cols, 3), jnp.uint8)
+    t0 = time.time()
+    compiled = fn.lower(sbs).compile()
+    dt = time.time() - t0
+    mem = compiled.memory_analysis()
+    print(f"AOT OK halo+band {tag} x4 v5e: {dt:.1f} s; per-device hbm "
+          f"tmp = {mem.temp_size_in_bytes / 1e6:.0f} MB", flush=True)
+    hlo = compiled.as_text()
+    with open(f"/tmp/halo_band_x4_{tag}.hlo", "w") as f:
+        f.write(hlo)
+    # count instruction DEFINITIONS (an instruction's name also appears at
+    # every use site, so a bare substring count over-reports ~3x); permutes
+    # are keyed by their direction pattern which appears exactly once per
+    # instruction
+    perms = collections.Counter(
+        m.group(1) for m in re.finditer(
+            r"source_target_pairs=(\{\{\d+,\d+\})", hlo))
+    others = collections.Counter(
+        m.group(1) for m in re.finditer(
+            r"= \S+ (all-reduce|all-gather|reduce-scatter|all-to-all)"
+            r"(?:-start)?\(", hlo))
+    print(f"collectives in the per-device module: "
+          f"{sum(perms.values())} collective-permutes "
+          f"{dict(perms)}; others: {dict(others)}", flush=True)
+
+
 def main(phases):
     from stereo_to_multiview_tpu.config import FISH, HD1080_D128, UHD4K_16V
     table = {
         "fish": lambda: _frame_phase(FISH, "fish 640x384 D=64 V=8"),
         "hd": lambda: _frame_phase(HD1080_D128, "1080p D=128 V=8"),
         "4k": lambda: _frame_phase(UHD4K_16V, "4K D=128 V=16"),
+        "multichip": _multichip_phase,
+        "multichip4k": lambda: _multichip_phase("UHD4K_16V", "4k16v"),
     }
     for p in phases:
         table[p]()

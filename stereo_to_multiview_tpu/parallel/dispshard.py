@@ -94,7 +94,9 @@ def disp_sharded_disparities(mesh: Mesh, cfg: PipelineConfig,
     def shard_fn(img_l, img_r, arms_l, arms_r):
         idx = jax.lax.axis_index(disp_axis)
         d0 = idx * dloc
-        interpret = jax.default_backend() == "cpu"
+        from stereo_to_multiview_tpu.models import pipeline as _pl
+        interpret = (jax.default_backend() == "cpu"
+                     and not _pl.FORCE_MOSAIC)
 
         cen_l = ops.census_transform_9x7(ops.mux_average(img_l))
         cen_r = ops.census_transform_9x7(ops.mux_average(img_r))

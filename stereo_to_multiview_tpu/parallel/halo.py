@@ -154,7 +154,9 @@ def halo_process_frame(mesh: Mesh, cfg: PipelineConfig,
         # --- stereo half on the extended domain ---
         from stereo_to_multiview_tpu.models.pipeline import _use_band
         band = _use_band(cfg)
-        interpret = jax.default_backend() == "cpu"
+        from stereo_to_multiview_tpu.models import pipeline as _pl
+        interpret = (jax.default_backend() == "cpu"
+                     and not _pl.FORCE_MOSAIC)
         if band:
             from stereo_to_multiview_tpu.ops.postkern import (
                 cross_arms_kern_lr)
