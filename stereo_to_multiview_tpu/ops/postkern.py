@@ -403,42 +403,42 @@ def filter_bleed_mask_kern(occl_l: jnp.ndarray, occl_r: jnp.ndarray,
                          "live-path value); use ops.filter_bleed otherwise")
     h, w = occl_l.shape
     hp = -(-h // _ROWS) * _ROWS
-    wp = -(-w // _LANE) * _LANE
     thresh = float((2 * radius + 1) ** 2 - 1) * 0.30
 
-    def prep(x):
+    # ONE kernel call for both eyes: each eye is mirror-padded on its own
+    # (its radius-1 windows end at its own mirror column) and the two
+    # blocks sit side by side -- no window can cross the seam, so the
+    # result is bit-identical to two per-eye calls at half the launches
+    # and grid steps.  Right eye's outputs start at column w + 2 (past
+    # L's right mirror and R's left mirror).
+    def mirror(x):
         x = x.astype(F32)
-        # mirror rows/cols (s=-1 -> 1, s=n -> n-2), then block-align:
-        # a full spacer block of rows each side (the y+-1 blocks never
-        # clamp) and _PAD columns each side for the lane windows
         x = jnp.concatenate([x[1:2], x, x[h - 2:h - 1]], axis=0)
-        x = jnp.concatenate([x[:, 1:2], x, x[:, w - 2:w - 1]], axis=1)
-        x = jnp.pad(x, ((_ROWS - 1, _ROWS - 1 + hp - h),
-                        (_PAD - 1, _PAD - 1 + wp - w)))
-        return x
+        return jnp.concatenate([x[:, 1:2], x, x[:, w - 2:w - 1]], axis=1)
+
+    off_r = w + 2                      # right eye's first output column
+    wp = -(-(off_r + w) // _LANE) * _LANE
+    a = jnp.concatenate([mirror(occl_l), mirror(occl_r)], axis=1)
+    a = jnp.pad(a, ((_ROWS - 1, _ROWS - 1 + hp - h),
+                    (_PAD - 1, _PAD + wp - (2 * w + 3))))
 
     spec = lambda d: pl.BlockSpec((_ROWS, wp + 2 * _PAD),
                                   lambda y, d=d: (y + d, 0),
                                   memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((_ROWS, wp), lambda y: (y, 0),
                          memory_space=pltpu.VMEM)
-    kern = functools.partial(_bleed_kernel, thresh=thresh,
-                             n_tiles=wp // _LANE)
-    outs = []
-    for occ in (occl_l, occl_r):
-        a = prep(occ)
-        out = pl.pallas_call(
-            kern,
-            grid=(hp // _ROWS,),
-            in_specs=[spec(0), spec(1), spec(2)],
-            out_specs=ospec,
-            out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel",)),
-            interpret=interpret,
-        )(a, a, a)
-        outs.append(out[:h, :w])
-    return tuple(outs)
+    out = pl.pallas_call(
+        functools.partial(_bleed_kernel, thresh=thresh,
+                          n_tiles=wp // _LANE),
+        grid=(hp // _ROWS,),
+        in_specs=[spec(0), spec(1), spec(2)],
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(a, a, a)
+    return out[:h, :w], out[:h, off_r:off_r + w]
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "sigma_color",
