@@ -72,25 +72,26 @@ def _bilat_kernel(b0, b1, b2, out_ref, *, radius: int, sk, inv_2var: float,
 
 def _dcc_kernel(dl_ref, dr_ref, out_l_ref, out_r_ref, *, n_tiles: int,
                 rows: int, w: int, reach: int, thresh: float,
-                with_labels: bool):
+                with_labels: bool, dvals):
     """Cross-check labels (d_dr_dcc.cu:35-82) or occlusion hits
     (d_dibr_occl.cu:114-128) for both eyes, one `rows`-row block per step.
 
-    Every dynamic-offset lookup/scatter becomes a banded compare over the
-    [x0-reach, x0+128+reach) window: the consistency read
-    d_b[clamp(x + d_a[x])] is a one-hot offset compare times the edge-
-    padded window (the pad IS the clamp), summed over lanes; the scatter
-    hit is a clamped-target compare + lane reduction.  All rows of the
-    block are processed per op ((rows, 128, win) tensors -- per-row
-    (1, x) streams are issue-bound on the VPU).  Integer-exact.
+    Disparity-value decomposition: since exactly one integer d matches
+    each pixel's truncated disparity, the dynamic lookup
+    d_b[x + d_a[x]] is a loop over the |dvals| possible d with a
+    compare + select of the statically shifted window, and the scatter
+    hit at o is OR_d (d_a[o - d] == d) on the sentinel-masked window.
+    Every op stays on the natural (rows, lane) layout -- no (R, 128,
+    win) one-hot tensors, no lane->sublane relayouts (those made the
+    previous banded-compare form ~3x slower).  Integer-exact; targets
+    clamped to the border columns are patched by the caller.
 
     dl/dr refs: (rows, WP + 2*reach) f32, edge-padded columns.
     outs: (rows, WP) i32 -- labels 0/1/2 (with_labels) or 0/1 hit flags.
     """
     win = _LANE + 2 * reach
-    o = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE, win), 1)
-    i = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE, win), 2)
-    roff = i - reach - o                       # window offset of i from o
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, win), 1)
+    big = jnp.int32(0x40000000)
 
     for t in range(n_tiles):
         x0 = t * _LANE
@@ -98,37 +99,39 @@ def _dcc_kernel(dl_ref, dr_ref, out_l_ref, out_r_ref, *, n_tiles: int,
         dr_win = dr_ref[:, x0:x0 + win]
         dl_wi = dl_win.astype(jnp.int32)                 # trunc toward 0
         dr_wi = dr_win.astype(jnp.int32)
-        i_abs = (i - reach + x0)[:, 0:1, :]              # (1, 1, win)
-        valid = (i_abs >= 0) & (i_abs < w)
+        i_abs = lane - reach + x0                        # (1, win)
+        invalid = (i_abs < 0) | (i_abs >= w)
+        # sentinel: out-of-image writers never match any d
+        dl_s = jnp.where(invalid, big, dl_wi)
+        dr_s = jnp.where(invalid, big, dr_wi)
+        dl_c = dl_wi[:, reach:reach + _LANE]             # (rows, 128)
+        dr_c = dr_wi[:, reach:reach + _LANE]
 
-        # scatter hit: any in-image writer whose clamped target is o.
-        # Out-of-image writers get target -1 on the SMALL (R, 1, win)
-        # tensor (one compare saved on the broadcast (R, 128, win) one:
-        # every o_abs is >= 0, so -1 never matches).
-        tl = jnp.where(valid, jnp.clip(i_abs + dl_wi[:, None, :],
-                                       0, w - 1), -1)       # (R, 1, win)
-        tr = jnp.where(valid, jnp.clip(i_abs - dr_wi[:, None, :],
-                                       0, w - 1), -1)
-        o_abs = o + x0
-        hit_r = jnp.any(tl == o_abs, axis=2)                # (rows, 128)
-        hit_l = jnp.any(tr == o_abs, axis=2)
+        hit_l = jnp.zeros((rows, _LANE), jnp.bool_)
+        hit_r = jnp.zeros((rows, _LANE), jnp.bool_)
+        if with_labels:
+            ref_l = jnp.zeros((rows, _LANE), F32)
+            ref_r = jnp.zeros((rows, _LANE), F32)
+        for d in dvals:
+            lo = reach + d                               # window pos of x+d
+            hi = reach - d                               # window pos of x-d
+            # scatter hits: left-eye writer x = o-d (dl==d) targets o;
+            # right-eye writer x = o+d (dr==d) targets o
+            hit_r = hit_r | (dl_s[:, hi:hi + _LANE] == d)
+            hit_l = hit_l | (dr_s[:, lo:lo + _LANE] == d)
+            if with_labels:
+                # consistency reads d_r[x+dl(x)] / d_l[x-dr(x)]; the
+                # edge pad IS the clamp on the read side
+                ref_l = jnp.where(dl_c == d, dr_win[:, lo:lo + _LANE],
+                                  ref_l)
+                ref_r = jnp.where(dr_c == d, dl_win[:, hi:hi + _LANE],
+                                  ref_r)
 
         if not with_labels:
             out_r_ref[:, x0:x0 + _LANE] = hit_r.astype(jnp.int32)
             out_l_ref[:, x0:x0 + _LANE] = hit_l.astype(jnp.int32)
             continue
 
-        # consistency read d_b[clamp(x + d_a[x])]: the edge-padded window
-        # holds the clamped border value at out-of-image i, so a plain
-        # offset match suffices; exactly one i matches per (row, o).
-        dl_c = dl_wi[:, reach:reach + _LANE]             # (rows, 128)
-        dr_c = dr_wi[:, reach:reach + _LANE]
-        sel_l = roff == dl_c[:, :, None]
-        sel_r = roff == -dr_c[:, :, None]
-        ref_l = jnp.sum(jnp.where(sel_l, dr_win[:, None, :], F32(0.0)),
-                        axis=2)
-        ref_r = jnp.sum(jnp.where(sel_r, dl_win[:, None, :], F32(0.0)),
-                        axis=2)
         ctr_l = dl_win[:, reach:reach + _LANE]
         ctr_r = dr_win[:, reach:reach + _LANE]
         mm_l = jnp.abs(ctr_l - ref_l) > F32(thresh)
@@ -316,7 +319,7 @@ def cross_arms_kern_lr(img_l: jnp.ndarray, img_r: jnp.ndarray, ucd: float,
     return arms_l, arms_r
 
 
-_DCCROWS = 8    # dcc rows per grid step (16 measured no better at 1080p)
+_DCCROWS = 8    # dcc rows per grid step (value-loop ops are 1-vreg; 16 and 32 both measured slower at 1080p)
 
 
 @functools.partial(jax.jit, static_argnames=("thresh", "with_labels",
@@ -342,6 +345,11 @@ def dcc_occl_kern(disp_l: jnp.ndarray, disp_r: jnp.ndarray,
             raise ValueError("disparity reach exceeds 128 columns")
         reach = max(8, -(-bound // 8) * 8)
 
+    if num_disp is None or zero_disp is None:
+        dvals = tuple(range(-reach, reach + 1))
+    else:
+        dvals = tuple(range(-zero_disp, num_disp - zero_disp))
+
     def prep(d):
         d = d.astype(F32)
         d = jnp.pad(d, ((0, hp - h), (0, wp - w)), mode="edge")
@@ -354,7 +362,7 @@ def dcc_occl_kern(disp_l: jnp.ndarray, disp_r: jnp.ndarray,
     out_l, out_r = pl.pallas_call(
         functools.partial(_dcc_kernel, n_tiles=wp // _LANE, rows=_DCCROWS,
                           w=w, reach=reach, thresh=float(thresh),
-                          with_labels=with_labels),
+                          with_labels=with_labels, dvals=dvals),
         grid=(hp // _DCCROWS,),
         in_specs=[dspec, dspec],
         out_specs=(ospec, ospec),
@@ -363,8 +371,34 @@ def dcc_occl_kern(disp_l: jnp.ndarray, disp_r: jnp.ndarray,
             dimension_semantics=("parallel",)),
         interpret=interpret,
     )(prep(disp_l), prep(disp_r))
-    return (out_l[:h, :w].astype(jnp.uint8),
-            out_r[:h, :w].astype(jnp.uint8))
+    out_l, out_r = out_l[:h, :w], out_r[:h, :w]
+
+    # Border-clamp patch: the reference clamps scatter targets into the
+    # image (d_dr_dcc.cu:57-82), so writers with x + d < 0 (or > w-1)
+    # land on column 0 (w-1).  The kernel's value loop only catches
+    # exact matches; OR in the clamped writers here (tiny slices).
+    k = min(reach + 1, w)
+    dl_i = disp_l.astype(jnp.int32)
+    dr_i = disp_r.astype(jnp.int32)
+    x_lo = jnp.arange(k, dtype=jnp.int32)[None, :]
+    x_hi = jnp.arange(w - k, w, dtype=jnp.int32)[None, :]
+    c_r0 = jnp.any(x_lo + dl_i[:, :k] < 0, axis=1)
+    c_l0 = jnp.any(x_lo - dr_i[:, :k] < 0, axis=1)
+    c_rw = jnp.any(x_hi + dl_i[:, w - k:] > w - 1, axis=1)
+    c_lw = jnp.any(x_hi - dr_i[:, w - k:] > w - 1, axis=1)
+    if with_labels:
+        def patch(lab, c0, cw):
+            col0 = jnp.where(c0 & (lab[:, 0] == 2), 1, lab[:, 0])
+            colw = jnp.where(cw & (lab[:, w - 1] == 2), 1, lab[:, w - 1])
+            return lab.at[:, 0].set(col0).at[:, w - 1].set(colw)
+    else:
+        def patch(hit, c0, cw):
+            col0 = jnp.maximum(hit[:, 0], c0.astype(jnp.int32))
+            colw = jnp.maximum(hit[:, w - 1], cw.astype(jnp.int32))
+            return hit.at[:, 0].set(col0).at[:, w - 1].set(colw)
+    out_l = patch(out_l, c_l0, c_lw)
+    out_r = patch(out_r, c_r0, c_rw)
+    return out_l.astype(jnp.uint8), out_r.astype(jnp.uint8)
 
 
 def _bleed_kernel(b0, b1, b2, out_ref, *, thresh: float, n_tiles: int):
