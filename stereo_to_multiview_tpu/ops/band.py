@@ -199,7 +199,7 @@ def _band_pass_h(vol: jnp.ndarray, arm_neg: jnp.ndarray,
                  arm_pos: jnp.ndarray, *, inclusive: bool = False,
                  mode: str = "float", terms: int = 2, rescale: int = 0,
                  wta: bool = False, zero_disp: int = 0, rows: int = _ROWS,
-                 otile: int = 2 * _LANE, out_dtype=jnp.float32,
+                 otile: int = _LANE, out_dtype=jnp.float32,
                  halo: int = _HALO, out_t: bool = False,
                  interpret: bool = False) -> jnp.ndarray:
     """Windowed sum along axis 1 of a (H, W, D) volume (see _res_kernel).
@@ -366,7 +366,7 @@ def _vv_kernel(an_ref, ap_ref, vol_ref, out_ref, *scratch, s2: int,
                                              "interpret"))
 def _band_pass_vv(vol: jnp.ndarray, arm_neg: jnp.ndarray,
                   arm_pos: jnp.ndarray, *, s2: int, s3: int,
-                  rows: int = _ROWS, otile: int = 2 * _LANE,
+                  rows: int = _ROWS, otile: int = _LANE,
                   halo: int = _HALO, digits: int = 2, out_t: bool = False,
                   interpret: bool = False) -> jnp.ndarray:
     """Both V-passes of the quantized aggregation in one kernel (see
@@ -491,7 +491,7 @@ def agg_rescale_shifts(max_arm: int, digits: int = 2):
 def band_aggregate_q(cost_q: jnp.ndarray, arms: jnp.ndarray, max_arm: int,
                      zero_disp: int | None = None,
                      interpret: bool = False, rows: int = _ROWS,
-                     otile: int = 2 * _LANE,
+                     otile: int = _LANE,
                      digits: int = 2) -> jnp.ndarray:
     """Four-pass cross aggregation (live order H,V,V,H, d_ca_cross.cu:
     255-271) on a quantized (H, W, D) volume of integers <= 254 (see
@@ -790,7 +790,7 @@ def _dm_pad(vol, arms_list, rows, wp, w):
     "num_disp", "zero_disp", "max_arm", "rows", "otile", "interpret"))
 def band_aggregate_q_dm(cost2, arms_l, arms_r, *, num_disp: int,
                         zero_disp: int, max_arm: int, rows: int = _ROWS,
-                        otile: int = 2 * _LANE, interpret: bool = False):
+                        otile: int = _LANE, interpret: bool = False):
     """Four-pass quantized cross aggregation + fused WTA, entirely in the
     cost kernel's (2D, H, W) disparity-major layout (left eye on sublanes
     [0, D), right on [D, 2D)).  Returns (disp_l, disp_r) (H, W) f32,
