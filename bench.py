@@ -116,13 +116,20 @@ def main():
         sync(frames(sbs_dev))
         per_group.append(time.perf_counter() - t0)
     fps = batch / float(np.min(per_group))
+    fps_median = batch / float(np.median(per_group))
 
+    # Headline = min-of-groups (robust device-time estimator under the
+    # relay's nonnegative noise); median reported alongside so cross-round
+    # trajectories survive estimator changes (VERDICT r3 item 8 /
+    # ADVICE r3): rounds 1-2 were measured with the median.
     baseline_fps = 15.0
     print(json.dumps({
         "metric": "fps_1080p_d128_8views_single_chip",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline_fps, 3),
+        "median": round(fps_median, 3),
+        "median_vs_baseline": round(fps_median / baseline_fps, 3),
     }))
     return 0
 

@@ -1,0 +1,237 @@
+#!/usr/bin/env python
+"""Per-stage roofline / MFU accounting for the band-engine pipeline.
+
+For every stage of the shipping 1080p/D=128/V=8 graph this computes, from
+the algorithm (not from HLO), the three resource totals a TPU v5e chip
+must spend:
+
+  * MXU MACs        (banded-matmul aggregation / IRV passes)
+  * VPU element-ops (everything elementwise: compares, selects, adds;
+                     transcendentals counted separately at their measured
+                     per-element cost)
+  * HBM bytes       (every volume/plane each kernel reads or writes,
+                     including XLA relayouts)
+
+and converts each into a time floor against v5e peaks.  The stage's
+roofline bound is max(mxu, vpu, hbm) -- the binding resource -- and
+"% of light" is bound / measured.  This makes the north-star
+"speed-of-light kernels" claim auditable (VERDICT r3 item 2): a stage at
+~>=50% of a VPU-issue bound has little headroom left without changing
+the algorithm's op count; a stage at 10% is an optimization target.
+
+v5e peak numbers (public: cloud.google.com/tpu/docs/v5e and the JAX
+scaling book): 197 bf16 TFLOP/s (4 MXUs), HBM 819 GB/s.  The VPU issues
+8x128-lane vector ops from 4 ALU ports at the ~1.5 GHz core clock =>
+~6.1e12 f32 element-ops/s IF every port dual-issues every cycle; real
+kernels with mixed op chains sustain nearer one vreg-op/cycle/port.
+We report floors at the optimistic 4-port peak -- "% of light" is
+therefore conservative (the true ceiling is lower).
+
+Measured ms come from scripts/profile_band.py (relay-amortized, net of
+dispatch); pass them with --measured 'stage=ms,stage=ms,...' or accept
+the recorded r4 defaults.
+"""
+
+import argparse
+import sys
+
+CLK = 1.5e9                      # v5e core clock (197e12 / (4*2*128*128))
+MXU_FLOPS = 197e12               # bf16
+VPU_EOPS = 4 * 8 * 128 * CLK     # 6.1e12 element-ops/s (4-port peak)
+HBM_BPS = 819e9
+EXP_COST = 12.0                  # VPU element-ops per transcendental
+                                 # (polynomial exp2 lowering, measured
+                                 # order; XLA's exp is in this ballpark)
+
+
+def fmt(x, unit):
+    for s, m in (("G", 1e9), ("M", 1e6), ("K", 1e3)):
+        if x >= m:
+            return f"{x / m:7.1f} {s}{unit}"
+    return f"{x:7.1f}  {unit}"
+
+
+def stage_model(H, W, D, V, usd, lsd, r_bil, r_feather, irv_rounds):
+    """Returns {stage: dict(macs, eops, exps, bytes, note)}.
+
+    Element counts follow the shipping kernels (ops/costkern.py,
+    ops/band.py, ops/postkern.py, ops/warpkern.py); per-element op
+    counts are the kernel's arithmetic ops only (loads/stores ride the
+    bytes term; slicing/roll overhead is real issue cost NOT modeled,
+    which again makes the floors optimistic).
+    """
+    N = H * W
+    E = 2
+    halo = max(8, -(-usd // 8) * 8)        # ops.band._halo_for
+    otile = 128
+    win = otile + 2 * halo                 # band window per output tile
+
+    st = {}
+
+    # ---- cross arms (postkern._arms_kernel, both orientations) ----
+    # per (pixel, direction-pair, k): shared compare plane F_k = 3 abs +
+    # 2 max (bf16), then per direction: max-with-ndm (lsd tier), sub,
+    # compare, add ~ 4; two orientations cover 4 directions.
+    eops = E * N * 2 * (usd - 1) * (5 + 2 * 4)
+    st["arms_lr"] = dict(
+        macs=0, eops=eops, exps=0,
+        bytes=E * N * (3 * 4 * 2 + 2 * 4 * 2) * 2,  # planes in, arms out x2 orientations
+        note=f"VPU walk, {usd - 1} taps x 2 orientations")
+
+    # ---- cost init (pair-volume shear, costkern._cost_kernel_xm) ----
+    pair = (W + 256) * H * D               # extended pair volume elems
+    # per elem: AD 3*(abs+sub+add) ~ 8, census 2 xor + 2 popcnt + add ~ 5,
+    # combine 2*(mul+exp+sub+add) ~ 8 + 2 exps, quant ~ 2
+    st["cost"] = dict(
+        macs=0,
+        eops=pair * (8 + 5 + 8 + 2),
+        exps=pair * 2,
+        bytes=(pair * 2                    # write P (bf16)
+               + N * D * 2 * 2            # shear: read P slice + write R
+               + E * N * D * 2 * 2),      # (D,W,H)->(H,W,D) relayout r+w
+        note="pair volume + shear + 2 relayouts")
+
+    # ---- aggregation (band_aggregate_q: H,V,V,H + fused WTA) ----
+    # digit dots per pass: p1=1, p2=2, p3=2, p4=2
+    digit_passes = 1 + 2 + 2 + 2
+    macs = E * N * D * win * digit_passes
+    # VPU per output elem per pass: band build ~3 ops amortized over D
+    # lanes => 3*win/D; digit split ~6 ops on the window => 6*win/(otile)
+    # for p2/p4; rescale+resplit ~11 on outputs of p2/p3; WTA ~4.
+    eops = E * N * D * (
+        4 * (3 * win / D)                  # band builds (4 passes)
+        + 2 * (6 * win / otile)            # splits at p2, p4
+        + 2 * 11                           # rescale + re-split p2/p3
+        + 4)                               # fused WTA
+    byts = (E * N * D * (2          # p1 reads bf16 cost
+                         + 2 * 2    # p1 writes + vv reads i16
+                         + 2 * 2)   # vv writes + p4 reads i16
+            + E * N * 4)            # disparity out
+    st["agg+wta"] = dict(macs=macs, eops=int(eops), bytes=int(byts),
+                         exps=0,
+                         note=f"win={win} x {digit_passes} digit-dots")
+
+    # ---- dcc (postkern._dcc_kernel value loop) ----
+    st["dcc"] = dict(macs=0, eops=E * N * D * 6, exps=0,
+                     bytes=E * N * (4 + 4) * 2,
+                     note="D-value loop, 6 ops/(pixel,d)")
+
+    # ---- IRV (irvkern fused round; data-dependent early stop) ----
+    # per round: one-hot E*N*D ~2; two inclusive band passes (1 digit,
+    # bf16) MXU; vote logic ~25/pixel.  HBM: volume bf16 r/w per pass.
+    macs = irv_rounds * E * N * D * win * 2
+    eops = irv_rounds * E * N * (D * 2 + 25)
+    byts = irv_rounds * E * N * D * 2 * 3
+    st[f"irv({irv_rounds})"] = dict(macs=macs, eops=eops, exps=0,
+                                    bytes=byts,
+                                    note="2 one-hot band passes/round")
+
+    # ---- bilateral (postkern._bilat_kernel) ----
+    taps = (2 * r_bil + 1) ** 2
+    st["bilateral"] = dict(macs=0,
+                           eops=E * N * taps * 8,
+                           exps=E * N * taps,
+                           bytes=E * N * 4 * 2,
+                           note=f"{taps} taps, exp per tap")
+
+    # ---- synthesis ----
+    st["occl"] = dict(macs=0, eops=E * N * D * 4, exps=0,
+                      bytes=E * N * 8, note="D-value loop, 4 ops")
+    st["bleed+mask"] = dict(macs=0, eops=E * N * 9 * 2, exps=0,
+                            bytes=E * N * 8, note="3x3 count")
+    ftaps = 2 * (2 * r_feather + 1)
+    st["feather"] = dict(macs=0, eops=N * ftaps * 3, exps=0,
+                         bytes=N * 8, note="separable lifting blur")
+    # warp: per direction sum_v bound widths = D * sum(shifts); per
+    # (pixel, k, view-in-range): ~7 select ops; window builds ~6 ops per
+    # (k, channel) amortized over the 128-lane tile.
+    import numpy as np
+    shifts = [1.0 - v / (V - 1.0) for v in range(1, V - 1)]
+    sumw = D * (sum(shifts) + sum(1 - s for s in shifts))
+    union = D * 2 + 4
+    eops = N * (sumw * 7 + union * 3 * 6) + N * len(shifts) * 2 * 12
+    st["warp_views"] = dict(macs=0, eops=int(eops), exps=0,
+                            bytes=int(N * (6 * 4 + len(shifts) * 2 * 3 * 4)),
+                            note=f"select chains, sum widths {int(sumw)}")
+    st["merge+mask"] = dict(macs=0, eops=N * len(shifts) * 3 * 8, exps=0,
+                            bytes=N * len(shifts) * 3 * (4 * 2 + 1),
+                            note="mask mul + truncating blend")
+    st["mux"] = dict(macs=0, eops=N * 3 * 10, exps=0,
+                     bytes=N * 3 * (V // 4 + 1),
+                     note="subpixel view select")
+    return st
+
+
+# r4 measured stage table (scripts/profile_band.py --input fish, 1x v5e,
+# net of relay dispatch) -- update alongside BASELINE.md.
+MEASURED_R4 = {}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=1080)
+    ap.add_argument("--cols", type=int, default=1920)
+    ap.add_argument("--disp", type=int, default=128)
+    ap.add_argument("--views", type=int, default=8)
+    ap.add_argument("--usd", type=int, default=34)
+    ap.add_argument("--lsd", type=int, default=17)
+    ap.add_argument("--bilateral", type=int, default=7)
+    ap.add_argument("--feather", type=int, default=10)
+    ap.add_argument("--irv-rounds", type=int, default=2,
+                    help="in-graph rounds on real content (early stop); "
+                         "use 5 for the standalone worst case")
+    ap.add_argument("--measured", default="",
+                    help="stage=ms,... measured times to rate against")
+    args = ap.parse_args()
+
+    measured = dict(MEASURED_R4)
+    if args.measured:
+        for kv in args.measured.split(","):
+            k, v = kv.split("=")
+            measured[k] = float(v)
+
+    st = stage_model(args.rows, args.cols, args.disp, args.views,
+                     args.usd, args.lsd, args.bilateral, args.feather,
+                     args.irv_rounds)
+
+    hdr = (f"{'stage':14s} {'MXU':>10s} {'VPU eops':>10s} {'HBM':>10s} "
+           f"{'mxu ms':>7s} {'vpu ms':>7s} {'hbm ms':>7s} "
+           f"{'bound':>6s} {'meas':>7s} {'%light':>6s}  note")
+    print(hdr)
+    print("-" * len(hdr))
+    tot_bound = tot_meas = 0.0
+    for name, d in st.items():
+        t_mxu = 2 * d["macs"] / MXU_FLOPS * 1e3
+        t_vpu = (d["eops"] + EXP_COST * d["exps"]) / VPU_EOPS * 1e3
+        t_hbm = d["bytes"] / HBM_BPS * 1e3
+        bound = max(t_mxu, t_vpu, t_hbm)
+        which = ("mxu", "vpu", "hbm")[
+            [t_mxu, t_vpu, t_hbm].index(bound)]
+        m = measured.get(name.split("(")[0], measured.get(name))
+        tot_bound += bound
+        pct = ""
+        ms = ""
+        if m:
+            tot_meas += m
+            pct = f"{100 * bound / m:5.0f}%"
+            ms = f"{m:7.1f}"
+        print(f"{name:14s} {fmt(2 * d['macs'], 'F'):>10s} "
+              f"{fmt(d['eops'] + EXP_COST * d['exps'], 'op'):>10s} "
+              f"{fmt(d['bytes'], 'B'):>10s} "
+              f"{t_mxu:7.2f} {t_vpu:7.2f} {t_hbm:7.2f} "
+              f"{which:>6s} {ms:>7s} {pct:>6s}  {d['note']}")
+    print("-" * len(hdr))
+    line = f"{'TOTAL':14s} {'':>10s} {'':>10s} {'':>10s} " \
+           f"{'':7s} {'':7s} {'':7s} {tot_bound:6.1f}"
+    if tot_meas:
+        line += f" {tot_meas:7.1f} {100 * tot_bound / tot_meas:5.0f}%"
+    print(line)
+    print(f"\nroofline frame floor {tot_bound:.1f} ms = "
+          f"{1e3 / tot_bound:.1f} fps (optimistic: 4-port VPU peak, "
+          f"zero slicing/roll/launch overhead, perfect overlap never "
+          f"assumed -- stage floors simply add)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -171,6 +171,22 @@ def compute_disparities(img_l: jnp.ndarray, img_r: jnp.ndarray,
     return disp_l, disp_r, out_l, out_r
 
 
+def synth_disp_bounds(cfg: PipelineConfig):
+    """(num_disp, zero_disp) bounds covering the disparity VALUES the
+    synthesis stages see.  On the full-res path these are the config's
+    own; on the lowres path the upscaled disparities were multiplied by
+    1/disp_scale (d_io.cu:415-417), so the bounds scale with them --
+    passing the unscaled bounds would silently drop occlusion writers
+    and warp samples beyond the unscaled reach (ADVICE r3)."""
+    import math
+    if not cfg.lowres or cfg.disp_scale == 1.0:
+        return cfg.num_disp, cfg.zero_disp
+    inv = 1.0 / cfg.disp_scale
+    zd = int(math.ceil(cfg.zero_disp * inv))
+    top = int(math.floor((cfg.num_disp - 1 - cfg.zero_disp) * inv))
+    return zd + top + 1, zd
+
+
 def synthesize_views(img_l, img_r, disp_l, disp_r, cfg: PipelineConfig):
     """DIBR half: images + disparities -> (V, H, W, 3) view stack.
 
@@ -180,6 +196,10 @@ def synthesize_views(img_l, img_r, disp_l, disp_r, cfg: PipelineConfig):
     reference recomputes it per view); the V-2 intermediate warps unroll as
     a static Python loop so each view's select-shift warp gets the tightest
     offset bound for its shift (V is small and static).
+
+    Disparity-value bounds come from synth_disp_bounds(cfg): on the
+    lowres path the upscaled disparity values exceed cfg.num_disp/
+    zero_disp by the 1/disp_scale factor.
     """
     from stereo_to_multiview_tpu.ops.dibr import dibr_backward_warp
     from stereo_to_multiview_tpu.ops.mux import mux_merge_ab
@@ -187,18 +207,19 @@ def synthesize_views(img_l, img_r, disp_l, disp_r, cfg: PipelineConfig):
 
     band = _use_band(cfg)
     interpret = jax.default_backend() == "cpu" and not FORCE_MOSAIC
+    nd_s, zd_s = synth_disp_bounds(cfg)
     with stage_scope("dibr_occl"):
         if band:
             from stereo_to_multiview_tpu.ops.postkern import dcc_occl_kern
             occl_l, occl_r = dcc_occl_kern(disp_l, disp_r,
                                            with_labels=False,
-                                           num_disp=cfg.num_disp,
-                                           zero_disp=cfg.zero_disp,
+                                           num_disp=nd_s,
+                                           zero_disp=zd_s,
                                            interpret=interpret)
         else:
             occl_l, occl_r = ops.dibr_occl(disp_l, disp_r,
-                                           num_disp=cfg.num_disp,
-                                           zero_disp=cfg.zero_disp)
+                                           num_disp=nd_s,
+                                           zero_disp=zd_s)
         if band and cfg.bleed_radius == 1:
             from stereo_to_multiview_tpu.ops.postkern import (
                 filter_bleed_mask_kern)
@@ -230,8 +251,7 @@ def synthesize_views(img_l, img_r, disp_l, disp_r, cfg: PipelineConfig):
             from stereo_to_multiview_tpu.ops.warpkern import (
                 dibr_warp_views_kern)
             va, vb = dibr_warp_views_kern(img_l, img_r, disp_l, disp_r,
-                                          shifts, cfg.num_disp,
-                                          cfg.zero_disp, interpret)
+                                          shifts, nd_s, zd_s, interpret)
             for j in range(len(shifts)):
                 view_from_l = (va[j] * mask_r[:, :, None]).astype(jnp.uint8)
                 view_from_r = (vb[j] * mask_l[:, :, None]).astype(jnp.uint8)
@@ -240,11 +260,9 @@ def synthesize_views(img_l, img_r, disp_l, disp_r, cfg: PipelineConfig):
         else:
             for shift in shifts:
                 view_from_l = dibr_backward_warp(
-                    img_l, mask_r, disp_r, -shift,
-                    cfg.num_disp, cfg.zero_disp)
+                    img_l, mask_r, disp_r, -shift, nd_s, zd_s)
                 view_from_r = dibr_backward_warp(
-                    img_r, mask_l, disp_l, 1.0 - shift,
-                    cfg.num_disp, cfg.zero_disp)
+                    img_r, mask_l, disp_l, 1.0 - shift, nd_s, zd_s)
                 mids.append(mux_merge_ab(view_from_l, view_from_r,
                                          feathered))
 

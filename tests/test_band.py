@@ -426,16 +426,27 @@ def test_dcc_occl_kern_matches_xla(stereo_pair, rng):
 
     ref_l, ref_r = ops.dr_dcc(disp_l, disp_r, 1.0, num_disp=nd,
                               zero_disp=zd)
+    # the bounded path (num_disp/zero_disp set) is what the pipeline
+    # runs: the dvals loop + border-clamp patch interplay (ADVICE r3)
     out_l, out_r = dcc_occl_kern(disp_l, disp_r, 1.0, with_labels=True,
+                                 num_disp=nd, zero_disp=zd,
                                  interpret=True)
     np.testing.assert_array_equal(_np(ref_l), _np(out_l))
     np.testing.assert_array_equal(_np(ref_r), _np(out_r))
 
-    # occlusion hits on refined (float) disparities: trunc-toward-zero
+    # unbounded fallback (reach = full 128-lane pad) must agree too
+    out_l2, out_r2 = dcc_occl_kern(disp_l, disp_r, 1.0, with_labels=True,
+                                   interpret=True)
+    np.testing.assert_array_equal(_np(ref_l), _np(out_l2))
+    np.testing.assert_array_equal(_np(ref_r), _np(out_r2))
+
+    # occlusion hits on refined (float) disparities: trunc-toward-zero,
+    # including NEGATIVE floats (-5.9 truncates to -5, not -6)
     fl = disp_l + jnp.asarray(rng.random((h, w)).astype(np.float32)) * 0.9
-    fr = disp_r + jnp.asarray(rng.random((h, w)).astype(np.float32)) * 0.9
+    fr = disp_r - jnp.asarray(rng.random((h, w)).astype(np.float32)) * 0.9
     refh_l, refh_r = ops.dibr_occl(fl, fr, num_disp=nd, zero_disp=zd)
-    oh_l, oh_r = dcc_occl_kern(fl, fr, with_labels=False, interpret=True)
+    oh_l, oh_r = dcc_occl_kern(fl, fr, with_labels=False,
+                               num_disp=nd, zero_disp=zd, interpret=True)
     np.testing.assert_array_equal(_np(refh_l), _np(oh_l))
     np.testing.assert_array_equal(_np(refh_r), _np(oh_r))
 
