@@ -94,18 +94,26 @@ def ci_census(census_l: jnp.ndarray, census_r: jnp.ndarray,
 
 
 def ci_adcensus_combine(ad_cost, census_cost, ad_coeff: float,
-                        census_coeff: float):
+                        census_coeff: float, fast_exp: bool = False):
     """C = (1 - e^{-C_ad/lambda_ad}) + (1 - e^{-C_census/lambda_census}).
     d_ci_adcensus.cu:27-34 (the reference's __expf is a fast-math exp; we
     use the exact one -- differences are < 1 ulp-ish and covered by the
-    fidelity tolerance)."""
+    fidelity tolerance).  fast_exp evaluates the same expression with the
+    polynomial exp (ops.fastmath.exp_neg) -- the reference twin of the
+    Pallas cost kernels' quantized fast path."""
+    if fast_exp:
+        from stereo_to_multiview_tpu.ops.fastmath import exp_neg
+        a = F32(1.0) - exp_neg(ad_cost * F32(1.0 / ad_coeff))
+        c = F32(1.0) - exp_neg(census_cost * F32(1.0 / census_coeff))
+        return a + c
     a = F32(1.0) - jnp.exp(-ad_cost * F32(1.0 / ad_coeff))
     c = F32(1.0) - jnp.exp(-census_cost * F32(1.0 / census_coeff))
     return a + c
 
 
 def ci_adcensus(img_l: jnp.ndarray, img_r: jnp.ndarray, ad_coeff: float,
-                census_coeff: float, num_disp: int, zero_disp: int):
+                census_coeff: float, num_disp: int, zero_disp: int,
+                fast_exp: bool = False):
     """Fused cost-init stage: gray -> census; AD; hamming; exp-combine.
     One traced graph -- XLA fuses what the reference runs as 6 kernel
     launches with intermediate global-memory volumes (d_ci_adcensus.cu:38-186).
@@ -116,17 +124,18 @@ def ci_adcensus(img_l: jnp.ndarray, img_r: jnp.ndarray, ad_coeff: float,
     cen_l = census_transform_9x7(mux_average(img_l))
     cen_r = census_transform_9x7(mux_average(img_r))
     cc_l, cc_r = ci_census(cen_l, cen_r, num_disp, zero_disp)
-    return (ci_adcensus_combine(ad_l, cc_l, ad_coeff, census_coeff),
-            ci_adcensus_combine(ad_r, cc_r, ad_coeff, census_coeff))
+    return (ci_adcensus_combine(ad_l, cc_l, ad_coeff, census_coeff, fast_exp),
+            ci_adcensus_combine(ad_r, cc_r, ad_coeff, census_coeff, fast_exp))
 
 
 def ci_adcensus_hwd(img_l: jnp.ndarray, img_r: jnp.ndarray, ad_coeff: float,
-                    census_coeff: float, num_disp: int, zero_disp: int):
+                    census_coeff: float, num_disp: int, zero_disp: int,
+                    fast_exp: bool = False):
     """Cost init in (H, W, D) layout -- D riding the TPU lane dimension,
     the layout the banded-MXU aggregation kernel consumes.  Identical
     values to ci_adcensus (which is (D, H, W)); built disparity-major
     (contiguous concat) and re-laid-out with one tiled transpose, which
     XLA does far faster than D minor-axis interleaving concats."""
     cost_l, cost_r = ci_adcensus(img_l, img_r, ad_coeff, census_coeff,
-                                 num_disp, zero_disp)
+                                 num_disp, zero_disp, fast_exp)
     return jnp.moveaxis(cost_l, 0, 2), jnp.moveaxis(cost_r, 0, 2)

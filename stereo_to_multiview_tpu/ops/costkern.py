@@ -24,6 +24,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from stereo_to_multiview_tpu.ops.fastmath import exp_neg, cost_flip_count
+
 F32 = jnp.float32
 _LANE = 128
 _ROWS = 16
@@ -54,6 +56,7 @@ def _window(chunks, lo: int):
 
 def _cost_kernel(*refs, num_disp: int, zero_disp: int,
                  inv_ad: float, inv_cen: float, quant: bool,
+                 fast_exp: bool = False,
                  eyes: str = "lr", tile: int | None = None):
     """One (16-row, 128-column) step.  Plane refs are (16, W + 256) i32,
     row-block resident; out refs are (D, 16, 128) -- disparity-major, so
@@ -95,8 +98,14 @@ def _cost_kernel(*refs, num_disp: int, zero_disp: int,
             ad = ad + jnp.abs(own[c] - _window(other_ch[c], off))
         ham = (_popcount(own_cen[0] ^ _window(other_cen_ch[0], off))
                + _popcount(own_cen[1] ^ _window(other_cen_ch[1], off)))
-        cost = ((F32(1.0) - jnp.exp(-(ad.astype(F32) * third) * inv_ad))
-                + (F32(1.0) - jnp.exp(-ham.astype(F32) * inv_cen)))
+        if fast_exp:
+            # polynomial exp: engaged only when cost_flip_count proved it
+            # bit-equal to the f32-exp quantizer on the whole domain
+            cost = ((F32(1.0) - exp_neg((ad.astype(F32) * third) * inv_ad))
+                    + (F32(1.0) - exp_neg(ham.astype(F32) * inv_cen)))
+        else:
+            cost = ((F32(1.0) - jnp.exp(-(ad.astype(F32) * third) * inv_ad))
+                    + (F32(1.0) - jnp.exp(-ham.astype(F32) * inv_cen)))
         if quant:
             cost = jnp.rint(cost * F32(_QSCALE))
         out[idx] = cost.astype(out.dtype)
@@ -113,6 +122,23 @@ def _cost_kernel(*refs, num_disp: int, zero_disp: int,
             # (2D, rows, 128) output block
             emit(r_own, cr_own, l_ch, cl_ch, _PAD - (d - zero_disp),
                  outs[-1], num_disp + d if eyes == "lr_stacked" else d)
+
+
+def _resolve_fast_exp(quant: bool, fast_exp: bool, ad_coeff: float,
+                      census_coeff: float) -> bool:
+    """Engage the polynomial exp only when the quantized outputs are
+    provably identical to the f32-exp definition over the kernel's whole
+    discrete (AD, Hamming) input domain (trace-time exhaustive check;
+    ~37k pairs).  Non-quantized outputs always use jnp.exp (f32 parity
+    with ops.cost).
+
+    Default OFF: the v5e VPU has hardware-accelerated transcendentals
+    (measured: jnp.exp 28.1 ms vs polynomial 30.0 ms vs no-exp 27.1 ms
+    for the 1080p/D=128 cost kernel) -- the polynomial only pays on
+    hardware without a fast exp pipe; the flag and the exactness proof
+    are kept for that case."""
+    return (quant and fast_exp
+            and cost_flip_count(1.0 / ad_coeff, 1.0 / census_coeff) == 0)
 
 
 def _shear_kernel(in_ref, out_ref, *, num_disp: int, zero_disp: int):
@@ -178,11 +204,12 @@ def _cost_planes(img_l, img_r, h, w, hp, wp):
 
 @functools.partial(jax.jit, static_argnames=("num_disp", "zero_disp",
                                              "ad_coeff", "census_coeff",
-                                             "quant", "interpret"))
+                                             "quant", "fast_exp",
+                                             "interpret"))
 def ci_adcensus_kern_stacked(img_l: jnp.ndarray, img_r: jnp.ndarray,
                              ad_coeff: float, census_coeff: float,
                              num_disp: int, zero_disp: int,
-                             quant: bool = True,
+                             quant: bool = True, fast_exp: bool = False,
                              interpret: bool = False) -> jnp.ndarray:
     """(H, W, 3) u8 pair -> ONE (2D, H, W) disparity-major cost volume
     (left eye on leading indices [0, D), right on [D, 2D)) -- the native
@@ -214,7 +241,9 @@ def ci_adcensus_kern_stacked(img_l: jnp.ndarray, img_r: jnp.ndarray,
                              zero_disp=zero_disp,
                              inv_ad=float(1.0 / ad_coeff),
                              inv_cen=float(1.0 / census_coeff),
-                             quant=quant, eyes="lr_stacked")
+                             quant=quant, eyes="lr_stacked",
+                             fast_exp=_resolve_fast_exp(
+                                 quant, fast_exp, ad_coeff, census_coeff))
     out = pl.pallas_call(
         kern,
         grid=grid,
@@ -246,7 +275,7 @@ _YL = 128    # image rows per grid step (lane axis)
 
 def _cost_kernel_xm(*refs, num_disp: int, zero_disp: int, sign: int,
                     inv_ad: float, inv_cen: float, quant: bool,
-                    ablate_exp: bool = False):
+                    fast_exp: bool = False, ablate_exp: bool = False):
     """One (128-x, 128-row) step for ONE eye.  refs: own b/g/r + census
     w0/w1 center blocks (5 x (XT, YL) i32), then the other eye's 5 planes
     as 3 consecutive x-blocks each (15 refs); out (D, XT, YL).
@@ -269,6 +298,9 @@ def _cost_kernel_xm(*refs, num_disp: int, zero_disp: int, sign: int,
         if ablate_exp:
             cost = ((ad.astype(F32) * third) * inv_ad
                     + ham.astype(F32) * inv_cen)
+        elif fast_exp:
+            cost = ((F32(1.0) - exp_neg((ad.astype(F32) * third) * inv_ad))
+                    + (F32(1.0) - exp_neg(ham.astype(F32) * inv_cen)))
         else:
             cost = ((F32(1.0) - jnp.exp(-(ad.astype(F32) * third) * inv_ad))
                     + (F32(1.0) - jnp.exp(-ham.astype(F32) * inv_cen)))
@@ -303,33 +335,31 @@ def _cost_planes_xm(img_l, img_r, h, w, hp, wp):
 
 def _shear_kernel_xm(r0, r1, r2, out_ref, *, num_disp: int,
                      zero_disp: int):
-    """out_r(d, x, y) = P(d, x - (d - zd), y): per-d static SUBLANE
-    slices over three consecutive x-blocks of the extended pair volume.
-    In the x-major layout this shear is plain data movement (the
-    row-major variant needed an f32 lane roll per d and lost,
-    ci_adcensus_kern docstring)."""
-    for d in range(num_disp):
-        k = d - zero_disp
-        if k > 0:
-            out_ref[d] = jnp.concatenate(
-                [r0[d, _XT - k:], r1[d, :_XT - k]], axis=0)
-        elif k < 0:
-            out_ref[d] = jnp.concatenate(
-                [r1[d, -k:], r2[d, :-k]], axis=0)
-        else:
-            out_ref[d] = r1[d]
+    """out_r(d, x, y) = P(d, x - (d - zd), y) in ONE strided roll: the
+    per-d shift rides the hardware rotate's stride over the major (d)
+    axis (shift_d = (d - zd) mod 3*_XT, wraparound confined to the
+    discarded halo blocks since |d - zd| <= _XT).  Replaces the per-d
+    sublane-slice-and-concat form, which built 2 slices per disparity
+    (measured 7.5 ms at 1080p vs ~3 for the roll)."""
+    cat = jnp.concatenate([r0[:], r1[:], r2[:]], axis=1)  # (D, 3XT, YL)
+    # the hardware rotate is 32-bit only (and in-kernel bitcasts cannot
+    # change bitwidths), so bf16 rides the roll as f32
+    wide = cat.astype(F32) if cat.dtype.itemsize == 2 else cat
+    rolled = pltpu.roll(wide, (3 * _XT - zero_disp) % (3 * _XT), 1,
+                        stride=1, stride_axis=0)
+    out_ref[...] = rolled[:, _XT:2 * _XT, :].astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_disp", "zero_disp",
                                              "ad_coeff", "census_coeff",
                                              "quant", "out_rows",
-                                             "shear", "ablate_exp",
-                                             "interpret"))
+                                             "shear", "fast_exp",
+                                             "ablate_exp", "interpret"))
 def ci_adcensus_kern_xm(img_l: jnp.ndarray, img_r: jnp.ndarray,
                         ad_coeff: float, census_coeff: float,
                         num_disp: int, zero_disp: int, quant: bool = True,
                         out_rows: int | None = None, shear: bool = True,
-                        ablate_exp: bool = False,
+                        fast_exp: bool = False, ablate_exp: bool = False,
                         interpret: bool = False):
     """(H, W, 3) u8 pair -> ((H, W, D), (H, W, D)) cost volumes via the
     x-major kernel -- bit-identical to ci_adcensus_kern (same integer
@@ -366,6 +396,7 @@ def ci_adcensus_kern_xm(img_l: jnp.ndarray, img_r: jnp.ndarray,
             raise ValueError("out_rows exceeds the kernel's padded height")
         h = out_rows
     args = _cost_planes_xm(img_l, img_r, img_l.shape[0], w, hp, wp)
+    fast_exp = _resolve_fast_exp(quant, fast_exp, ad_coeff, census_coeff)
 
     own_spec = pl.BlockSpec((_XT, _YL), lambda x, y: (x + 1, y),
                             memory_space=pltpu.VMEM)
@@ -394,7 +425,8 @@ def ci_adcensus_kern_xm(img_l: jnp.ndarray, img_r: jnp.ndarray,
                               zero_disp=zero_disp, sign=1,
                               inv_ad=float(1.0 / ad_coeff),
                               inv_cen=float(1.0 / census_coeff),
-                              quant=quant, ablate_exp=ablate_exp),
+                              quant=quant, fast_exp=fast_exp,
+                              ablate_exp=ablate_exp),
             grid=(wpe // _XT, hp // _YL),
             in_specs=in_specs,
             out_specs=pl.BlockSpec((num_disp, _XT, _YL),
@@ -442,7 +474,8 @@ def ci_adcensus_kern_xm(img_l: jnp.ndarray, img_r: jnp.ndarray,
                               zero_disp=zero_disp, sign=sign,
                               inv_ad=float(1.0 / ad_coeff),
                               inv_cen=float(1.0 / census_coeff),
-                              quant=quant, ablate_exp=ablate_exp),
+                              quant=quant, fast_exp=fast_exp,
+                              ablate_exp=ablate_exp),
             grid=grid,
             in_specs=in_specs,
             out_specs=out_spec,
@@ -458,12 +491,13 @@ def ci_adcensus_kern_xm(img_l: jnp.ndarray, img_r: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("num_disp", "zero_disp",
                                              "ad_coeff", "census_coeff",
-                                             "quant", "interpret",
-                                             "shift_extract"))
+                                             "quant", "fast_exp",
+                                             "interpret", "shift_extract"))
 def ci_adcensus_kern(img_l: jnp.ndarray, img_r: jnp.ndarray,
                      ad_coeff: float, census_coeff: float,
                      num_disp: int, zero_disp: int, quant: bool = False,
-                     interpret: bool = False, shift_extract: bool = False):
+                     fast_exp: bool = False, interpret: bool = False,
+                     shift_extract: bool = False):
     """(H, W, 3) u8 pair -> ((H, W, D), (H, W, D)) cost volumes.
 
     With quant=False, f32 costs matching ops.cost.ci_adcensus_hwd up to
@@ -494,7 +528,9 @@ def ci_adcensus_kern(img_l: jnp.ndarray, img_r: jnp.ndarray,
     kern = functools.partial(_cost_kernel, num_disp=num_disp,
                              zero_disp=zero_disp,
                              inv_ad=float(1.0 / ad_coeff),
-                             inv_cen=float(1.0 / census_coeff), quant=quant)
+                             inv_cen=float(1.0 / census_coeff), quant=quant,
+                             fast_exp=_resolve_fast_exp(
+                                 quant, fast_exp, ad_coeff, census_coeff))
 
     # cost_r(x, d) = cost_l(x - (d - zd), d) wherever x - (d - zd) lands
     # inside the image (same |L - R| pair, same census XOR; the exp
@@ -571,3 +607,4 @@ def ci_adcensus_kern(img_l: jnp.ndarray, img_r: jnp.ndarray,
     # banded-MXU aggregation consumes
     return (jnp.moveaxis(out_l, 0, 2)[:h, :w],
             jnp.moveaxis(out_r, 0, 2)[:h, :w])
+

@@ -70,81 +70,6 @@ def _bilat_kernel(b0, b1, b2, out_ref, *, radius: int, sk, inv_2var: float,
         out_ref[:, t * _LANE:(t + 1) * _LANE] = num / den
 
 
-def _dcc_kernel(dl_ref, dr_ref, out_l_ref, out_r_ref, *, n_tiles: int,
-                rows: int, w: int, reach: int, thresh: float,
-                with_labels: bool, dvals):
-    """Cross-check labels (d_dr_dcc.cu:35-82) or occlusion hits
-    (d_dibr_occl.cu:114-128) for both eyes, one `rows`-row block per step.
-
-    Disparity-value decomposition: since exactly one integer d matches
-    each pixel's truncated disparity, the dynamic lookup
-    d_b[x + d_a[x]] is a loop over the |dvals| possible d with a
-    compare + select of the statically shifted window, and the scatter
-    hit at o is OR_d (d_a[o - d] == d) on the sentinel-masked window.
-    Every op stays on the natural (rows, lane) layout -- no (R, 128,
-    win) one-hot tensors, no lane->sublane relayouts (those made the
-    previous banded-compare form ~3x slower).  Integer-exact; targets
-    clamped to the border columns are patched by the caller.
-
-    dl/dr refs: (rows, WP + 2*reach) f32, edge-padded columns.
-    outs: (rows, WP) i32 -- labels 0/1/2 (with_labels) or 0/1 hit flags.
-    """
-    win = _LANE + 2 * reach
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, win), 1)
-    big = jnp.int32(0x40000000)
-
-    for t in range(n_tiles):
-        x0 = t * _LANE
-        dl_win = dl_ref[:, x0:x0 + win]                  # (rows, win) f32
-        dr_win = dr_ref[:, x0:x0 + win]
-        dl_wi = dl_win.astype(jnp.int32)                 # trunc toward 0
-        dr_wi = dr_win.astype(jnp.int32)
-        i_abs = lane - reach + x0                        # (1, win)
-        invalid = (i_abs < 0) | (i_abs >= w)
-        # sentinel: out-of-image writers never match any d
-        dl_s = jnp.where(invalid, big, dl_wi)
-        dr_s = jnp.where(invalid, big, dr_wi)
-        dl_c = dl_wi[:, reach:reach + _LANE]             # (rows, 128)
-        dr_c = dr_wi[:, reach:reach + _LANE]
-
-        hit_l = jnp.zeros((rows, _LANE), jnp.bool_)
-        hit_r = jnp.zeros((rows, _LANE), jnp.bool_)
-        if with_labels:
-            ref_l = jnp.zeros((rows, _LANE), F32)
-            ref_r = jnp.zeros((rows, _LANE), F32)
-        for d in dvals:
-            lo = reach + d                               # window pos of x+d
-            hi = reach - d                               # window pos of x-d
-            # scatter hits: left-eye writer x = o-d (dl==d) targets o;
-            # right-eye writer x = o+d (dr==d) targets o
-            hit_r = hit_r | (dl_s[:, hi:hi + _LANE] == d)
-            hit_l = hit_l | (dr_s[:, lo:lo + _LANE] == d)
-            if with_labels:
-                # consistency reads d_r[x+dl(x)] / d_l[x-dr(x)]; the
-                # edge pad IS the clamp on the read side
-                ref_l = jnp.where(dl_c == d, dr_win[:, lo:lo + _LANE],
-                                  ref_l)
-                ref_r = jnp.where(dr_c == d, dl_win[:, hi:hi + _LANE],
-                                  ref_r)
-
-        if not with_labels:
-            out_r_ref[:, x0:x0 + _LANE] = hit_r.astype(jnp.int32)
-            out_l_ref[:, x0:x0 + _LANE] = hit_l.astype(jnp.int32)
-            continue
-
-        ctr_l = dl_win[:, reach:reach + _LANE]
-        ctr_r = dr_win[:, reach:reach + _LANE]
-        mm_l = jnp.abs(ctr_l - ref_l) > F32(thresh)
-        mm_r = jnp.abs(ctr_r - ref_r) > F32(thresh)
-
-        # label 1 = mismatch, upgraded to 2 when also disoccluded
-        # (never hit by any other-eye writer)
-        lab_l = jnp.where(mm_l, jnp.where(hit_l, 1, 2), 0)
-        lab_r = jnp.where(mm_r, jnp.where(hit_r, 1, 2), 0)
-        out_l_ref[:, x0:x0 + _LANE] = lab_l.astype(jnp.int32)
-        out_r_ref[:, x0:x0 + _LANE] = lab_r.astype(jnp.int32)
-
-
 _ARMROWS = 64   # rows per grid step in the arms kernel (>= usd reach)
 
 
@@ -319,7 +244,95 @@ def cross_arms_kern_lr(img_l: jnp.ndarray, img_r: jnp.ndarray, ucd: float,
     return arms_l, arms_r
 
 
-_DCCROWS = 8    # dcc rows per grid step (value-loop ops are 1-vreg; 16 and 32 both measured slower at 1080p)
+_DCCXT = 128    # xm dcc: x sublanes per grid step (window = 3 blocks)
+_DCCYL = 128    # xm dcc: image rows per grid step (lane axis)
+
+
+def _dcc_kernel_xm(dl0, dl1, dl2, dr0, dr1, dr2, out_l_ref, out_r_ref,
+                   s_dl, s_dr, s_fl, s_fr, *, w: int, thresh: float,
+                   with_labels: bool, d_min: int, d_max: int):
+    """Cross-check labels (d_dr_dcc.cu:35-82) / occlusion hits
+    (d_dibr_occl.cu:114-128) for both eyes, x-major: disparity planes
+    transposed to (W, H) so every d-offset window is a SUBLANE slice of
+    three consecutive 128-x blocks, held in VMEM scratch for dynamic
+    slicing.
+
+    Data-adaptive value loop: exactly one integer d matches each pixel's
+    truncated disparity, and only d values PRESENT in this block's
+    windows can match anything -- so the loop runs over [block min,
+    block max] (clamped to the static [d_min, d_max] search range) as a
+    dynamic-bound fori_loop.  On real content the per-block disparity
+    range is a small fraction of the full search range; on adversarial
+    input it degrades to the static loop.  Exact in all cases.
+
+    The consistency compare stays on float disparities
+    (d_dr_dcc.cu:57-82); all masks run at 32 bits (no packed 16-bit
+    vector compares on this VPU).
+    """
+    x0 = pl.program_id(0)
+    xt = _DCCXT
+    full = jnp.concatenate([dl0[:], dl1[:], dl2[:]], axis=0)  # (3XT, YL)
+    full_r = jnp.concatenate([dr0[:], dr1[:], dr2[:]], axis=0)
+    tl = jnp.trunc(full)                              # toward zero
+    tr = jnp.trunc(full_r)
+
+    # full-width iota: Mosaic cannot lane-replicate an (N, 1) i1 mask
+    i_abs = (jax.lax.broadcasted_iota(jnp.int32, (3 * xt, _DCCYL), 0)
+             - xt + x0 * xt).astype(F32)
+    invalid = (i_abs < F32(0.0)) | (i_abs >= F32(w))
+    big = F32(16384.0)
+    # sentinel: out-of-image writers never match any d
+    s_dl[...] = jnp.where(invalid, big, tl)
+    s_dr[...] = jnp.where(invalid, big, tr)
+    if with_labels:
+        s_fl[...] = full
+        s_fr[...] = full_r
+    dl_c = tl[xt:2 * xt]
+    dr_c = tr[xt:2 * xt]
+
+    d_lo = jnp.maximum(
+        jnp.minimum(jnp.min(tl), jnp.min(tr)).astype(jnp.int32),
+        jnp.int32(d_min))
+    d_hi = jnp.minimum(
+        jnp.maximum(jnp.max(tl), jnp.max(tr)).astype(jnp.int32),
+        jnp.int32(d_max))
+
+    zero = jnp.zeros((xt, _DCCYL), F32)
+    init = (zero, zero, zero, zero) if with_labels else (zero, zero)
+
+    def body(d, carry):
+        df = d.astype(F32)
+        lo = xt + d                                  # window row of x+d
+        hi = xt - d                                  # window row of x-d
+        hit_l = jnp.maximum(carry[0],
+                            (s_dr[pl.ds(lo, xt), :] == df).astype(F32))
+        hit_r = jnp.maximum(carry[1],
+                            (s_dl[pl.ds(hi, xt), :] == df).astype(F32))
+        if not with_labels:
+            return (hit_l, hit_r)
+        # consistency reads d_r[x+dl(x)] / d_l[x-dr(x)]; the edge pad IS
+        # the clamp on the read side
+        ref_l = jnp.where(dl_c == df, s_fr[pl.ds(lo, xt), :], carry[2])
+        ref_r = jnp.where(dr_c == df, s_fl[pl.ds(hi, xt), :], carry[3])
+        return (hit_l, hit_r, ref_l, ref_r)
+
+    res = jax.lax.fori_loop(d_lo, d_hi + 1, body, init)
+    hit_l = res[0].astype(jnp.int32)
+    hit_r = res[1].astype(jnp.int32)
+
+    if not with_labels:
+        out_l_ref[...] = hit_l
+        out_r_ref[...] = hit_r
+        return
+
+    # mm ? (hit ? 1 : 2) : 0  ==  mm * (2 - hit), arithmetic (no
+    # scalar-splat selects -- Mosaic relayout limitation)
+    mm_l = (jnp.abs(full[xt:2 * xt] - res[2]) > F32(thresh)) \
+        .astype(jnp.int32)
+    mm_r = (jnp.abs(full_r[xt:2 * xt] - res[3]) > F32(thresh)) \
+        .astype(jnp.int32)
+    out_l_ref[...] = mm_l * (2 - hit_l)
+    out_r_ref[...] = mm_r * (2 - hit_r)
 
 
 @functools.partial(jax.jit, static_argnames=("thresh", "with_labels",
@@ -333,50 +346,53 @@ def dcc_occl_kern(disp_l: jnp.ndarray, disp_r: jnp.ndarray,
     """with_labels=True: dr_dcc outlier labels (uint8 0/1/2) for both
     eyes.  False: dibr_occl visibility hits (uint8 0/1).
     num_disp/zero_disp bound the disparity reach (<= 128 columns); a
-    tighter bound shrinks the compare window."""
+    tighter bound shrinks the value loop.  Runs x-major (_dcc_kernel_xm):
+    every d-offset window is a static sublane slice."""
     h, w = disp_l.shape
-    hp = -(-h // _DCCROWS) * _DCCROWS
-    wp = -(-w // _LANE) * _LANE
+    xt, yl = _DCCXT, _DCCYL
     if num_disp is None or zero_disp is None:
-        reach = _PAD
+        dvals = tuple(range(-_PAD, _PAD + 1))
     else:
-        bound = max(zero_disp, num_disp - zero_disp)
-        if bound > _PAD:
+        if max(zero_disp, num_disp - zero_disp) > _PAD:
             raise ValueError("disparity reach exceeds 128 columns")
-        reach = max(8, -(-bound // 8) * 8)
-
-    if num_disp is None or zero_disp is None:
-        dvals = tuple(range(-reach, reach + 1))
-    else:
         dvals = tuple(range(-zero_disp, num_disp - zero_disp))
+    wp = -(-w // xt) * xt
+    hp = -(-h // yl) * yl
 
     def prep(d):
-        d = d.astype(F32)
-        d = jnp.pad(d, ((0, hp - h), (0, wp - w)), mode="edge")
-        return jnp.pad(d, ((0, 0), (reach, reach)), mode="edge")
+        dt = d.astype(F32).T                          # (W, H)
+        dt = jnp.pad(dt, ((0, wp - w), (0, hp - h)), mode="edge")
+        # x reach: one full block each side, edge values = read clamp
+        return jnp.pad(dt, ((xt, xt), (0, 0)), mode="edge")
 
-    dspec = pl.BlockSpec((_DCCROWS, wp + 2 * reach), lambda y: (y, 0),
+    spec = lambda d: pl.BlockSpec((xt, yl), lambda x, y, d=d: (x + d, y),
+                                  memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((xt, yl), lambda x, y: (x, y),
                          memory_space=pltpu.VMEM)
-    ospec = pl.BlockSpec((_DCCROWS, wp), lambda y: (y, 0),
-                         memory_space=pltpu.VMEM)
+    pl_l, pl_r = prep(disp_l), prep(disp_r)
+    scratch = pltpu.VMEM((3 * xt, yl), jnp.float32)
     out_l, out_r = pl.pallas_call(
-        functools.partial(_dcc_kernel, n_tiles=wp // _LANE, rows=_DCCROWS,
-                          w=w, reach=reach, thresh=float(thresh),
-                          with_labels=with_labels, dvals=dvals),
-        grid=(hp // _DCCROWS,),
-        in_specs=[dspec, dspec],
+        functools.partial(_dcc_kernel_xm, w=w, thresh=float(thresh),
+                          with_labels=with_labels, d_min=dvals[0],
+                          d_max=dvals[-1]),
+        grid=(wp // xt, hp // yl),
+        in_specs=[spec(0), spec(1), spec(2)] * 2,
         out_specs=(ospec, ospec),
-        out_shape=(jax.ShapeDtypeStruct((hp, wp), jnp.int32),) * 2,
+        out_shape=(jax.ShapeDtypeStruct((wp, hp), jnp.int32),) * 2,
+        scratch_shapes=[scratch] * 4,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+            dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
-    )(prep(disp_l), prep(disp_r))
-    out_l, out_r = out_l[:h, :w], out_r[:h, :w]
+    )(pl_l, pl_l, pl_l, pl_r, pl_r, pl_r)
+    out_l = out_l.T[:h, :w]
+    out_r = out_r.T[:h, :w]
 
     # Border-clamp patch: the reference clamps scatter targets into the
     # image (d_dr_dcc.cu:57-82), so writers with x + d < 0 (or > w-1)
     # land on column 0 (w-1).  The kernel's value loop only catches
     # exact matches; OR in the clamped writers here (tiny slices).
+    reach = _PAD if num_disp is None or zero_disp is None else max(
+        zero_disp, num_disp - zero_disp)
     k = min(reach + 1, w)
     dl_i = disp_l.astype(jnp.int32)
     dr_i = disp_r.astype(jnp.int32)

@@ -268,3 +268,139 @@ def dibr_warp_pair_kern(img_l, img_r, disp_l, disp_r, shift: float,
     va = jnp.stack([o[:h, :w] for o in outs[:3]], axis=-1)
     vb = jnp.stack([o[:h, :w] for o in outs[3:]], axis=-1)
     return va, vb
+
+
+# ---------------------------------------------------------------------------
+# x-major data-adaptive warp (round 4).
+#
+# The natural-layout kernel above walks the full static offset range of
+# every view (~sum_v D*|shift_v| ~ 768 select steps at D=128/V=8) with a
+# lane roll + select per window -- measured ~15 ms at 1080p.  Transposed
+# to (W, H), every sample offset is a SUBLANE slice, and the per-view
+# loop can run over the block's ACTUAL offset range [min k0, max k0]
+# (dynamic-bound fori_loop): on real content the per-block disparity
+# spread is a small fraction of the search range.  Exact in all cases
+# (offsets outside the block range select nothing).
+# ---------------------------------------------------------------------------
+
+_XX = 128    # x sublanes per grid step (window = 3 consecutive blocks)
+_XY = 128    # image rows per grid step (lane axis)
+
+
+def _warp_views_xm_kernel(*refs, shifts_l, shifts_r, w: int, nv: int):
+    """One (128-x, 128-row) step of every intermediate view's two
+    directional warps, x-major.  refs: disp_l, disp_r (XX, XY) center
+    blocks; 6 image planes (l b/g/r, r b/g/r) x 3 consecutive x-blocks;
+    6 outputs (nv, XX, XY); 6 scratches (3*XX, XY) f32 holding the
+    window spans for dynamic slicing."""
+    dl_ref, dr_ref = refs[0], refs[1]
+    planes = refs[2:20]                      # 6 planes x 3 blocks
+    outs = refs[20:26]                       # a b/g/r, b b/g/r
+    scr = refs[26:32]
+    xx = _XX
+
+    for p in range(6):
+        scr[p][...] = jnp.concatenate(
+            [planes[3 * p][:].astype(F32), planes[3 * p + 1][:].astype(F32),
+             planes[3 * p + 2][:].astype(F32)], axis=0)
+
+    x0 = pl.program_id(0)
+    xg = (jax.lax.broadcasted_iota(jnp.int32, (xx, _XY), 0)
+          + x0 * xx).astype(F32)
+
+    for disp_ref, shifts, ch0, out3 in (
+            (dr_ref, shifts_l, 0, outs[0:3]),      # from-L, disp_r
+            (dl_ref, shifts_r, 3, outs[3:6])):     # from-R, disp_l
+        disp = disp_ref[...]
+        for v, sh in enumerate(shifts):
+            coord = jnp.clip(xg + disp * F32(sh), F32(0.0), F32(w - 1))
+            k0f = jnp.floor(coord)
+            f = coord - k0f
+            g = F32(1.0) - f
+            k0 = (k0f - xg).astype(jnp.int32)    # offset of floor sample
+            lo = jnp.min(k0)
+            hi = jnp.max(k0)
+
+            def body(k, accs, k0=k0, f=f, g=g, ch0=ch0):
+                sel = k0 == k
+                new = []
+                for c in range(3):
+                    w0 = scr[ch0 + c][pl.ds(xx + k, xx), :]
+                    w1 = scr[ch0 + c][pl.ds(xx + k + 1, xx), :]
+                    new.append(jnp.where(sel, w0 * g + w1 * f, accs[c]))
+                return tuple(new)
+
+            zero = jnp.zeros((xx, _XY), F32)
+            accs = jax.lax.fori_loop(lo, hi + 1, body, (zero, zero, zero))
+            for c in range(3):
+                # alu_bilinear_interp returns uchar: truncate toward zero
+                out3[c][v] = jnp.floor(accs[c])
+
+
+@functools.partial(jax.jit, static_argnames=("shifts", "num_disp",
+                                             "zero_disp", "interpret"))
+def dibr_warp_views_kern_xm(img_l, img_r, disp_l, disp_r, shifts,
+                            num_disp: int, zero_disp: int,
+                            interpret: bool = False):
+    """x-major twin of dibr_warp_views_kern: returns (va, vb) with
+    va[v] = warp of img_l at -shifts[v] with disp_r, vb[v] = warp of
+    img_r at 1-shifts[v] with disp_l -- each (nv, W, H, 3) f32 with
+    integral values, TRANSPOSED (the caller keeps the synthesis chain in
+    the transposed domain and transposes the merged u8 views, ~40x less
+    data than these volumes).  Values bit-identical (transposed) to
+    dibr_warp_views_kern."""
+    h, w = disp_l.shape
+    nv = len(shifts)
+    wp = -(-w // _XX) * _XX
+    hp = -(-h // _XY) * _XY
+    dmin, dmax = -zero_disp, num_disp - zero_disp
+    shifts_l = tuple(-float(s) for s in shifts)
+    shifts_r = tuple(1.0 - float(s) for s in shifts)
+    reach = int(np.ceil(max(abs(dmin), abs(dmax))
+                        * max(abs(s) for s in shifts_l + shifts_r))) + 1
+    if reach > _XX:
+        raise ValueError("disparity reach exceeds one 128-x block")
+
+    def planes(img):
+        out = []
+        for c in range(3):
+            p = img[:, :, c].astype(jnp.int32).T           # (W, H)
+            p = jnp.pad(p, ((0, wp - w), (0, hp - h)), mode="edge")
+            p = jnp.pad(p, ((_XX, _XX), (0, 0)))
+            out.append(p)
+        return out
+
+    def disp_pad(d):
+        dt = d.astype(F32).T
+        return jnp.pad(dt, ((0, wp - w), (0, hp - h)), mode="edge")
+
+    args = ([disp_pad(disp_l), disp_pad(disp_r)]
+            + [b for p in planes(img_l) + planes(img_r)
+               for b in (p, p, p)])
+
+    dspec = pl.BlockSpec((_XX, _XY), lambda x, y: (x, y),
+                         memory_space=pltpu.VMEM)
+    pspecs = [pl.BlockSpec((_XX, _XY), lambda x, y, d=d: (x + d, y),
+                           memory_space=pltpu.VMEM) for d in range(3)]
+    ospec = pl.BlockSpec((nv, _XX, _XY), lambda x, y: (0, x, y),
+                         memory_space=pltpu.VMEM)
+    oshape = jax.ShapeDtypeStruct((nv, wp, hp), jnp.float32)
+    scratch = pltpu.VMEM((3 * _XX, _XY), jnp.float32)
+
+    outs = pl.pallas_call(
+        functools.partial(_warp_views_xm_kernel, shifts_l=shifts_l,
+                          shifts_r=shifts_r, w=w, nv=nv),
+        grid=(wp // _XX, hp // _XY),
+        in_specs=[dspec, dspec] + [pspecs[d] for _ in range(6)
+                                   for d in range(3)],
+        out_specs=(ospec,) * 6,
+        out_shape=(oshape,) * 6,
+        scratch_shapes=[scratch] * 6,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    va = jnp.stack([o[:, :w, :h] for o in outs[:3]], axis=-1)
+    vb = jnp.stack([o[:, :w, :h] for o in outs[3:]], axis=-1)
+    return va, vb

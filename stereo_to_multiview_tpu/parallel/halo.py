@@ -282,26 +282,37 @@ def halo_process_frame(mesh: Mesh, cfg: PipelineConfig,
         v = cfg.num_views
         if view_axis is None:
             import numpy as np
+            shifts = tuple(float(np.float32(1.0)
+                                 - np.float32(v_i) / np.float32(v - 1.0))
+                           for v_i in range(1, v - 1))
             mids = []
-            for v_i in range(1, v - 1):
-                # f32 like the reference (d_io.cu:189) and the dyn path
-                shift = float(np.float32(1.0)
-                              - np.float32(v_i) / np.float32(v - 1.0))
-                if band:
-                    from stereo_to_multiview_tpu.ops.warpkern import (
-                        dibr_warp_pair_kern)
-                    va, vb = dibr_warp_pair_kern(
-                        img_l, img_r, disp_l, disp_r, shift,
-                        cfg.num_disp, cfg.zero_disp, interpret)
-                    a = (va * mask_r[:, :, None]).astype(jnp.uint8)
-                    b = (vb * mask_l[:, :, None]).astype(jnp.uint8)
-                else:
+            if band and shifts:
+                # the SAME x-major kernel + transposed merge the
+                # single-device pipeline runs: the warp lerp's FMA
+                # contraction is compilation-context-dependent, so
+                # bit-exactness vs process_frame requires the identical
+                # kernel, not an ulp-compatible twin
+                from stereo_to_multiview_tpu.ops.warpkern import (
+                    dibr_warp_views_kern_xm)
+                va, vb = dibr_warp_views_kern_xm(
+                    img_l, img_r, disp_l, disp_r, shifts,
+                    cfg.num_disp, cfg.zero_disp, interpret)
+                mrt = mask_r.T[:, :, None]
+                mlt = mask_l.T[:, :, None]
+                ft = feathered.T
+                for j in range(len(shifts)):
+                    a = (va[j] * mrt).astype(jnp.uint8)
+                    b = (vb[j] * mlt).astype(jnp.uint8)
+                    mids.append(jnp.swapaxes(
+                        mux_merge_ab(a, b, ft), 0, 1))
+            else:
+                for shift in shifts:
                     a = dibr_backward_warp(img_l, mask_r, disp_r, -shift,
                                            cfg.num_disp, cfg.zero_disp)
                     b = dibr_backward_warp(img_r, mask_l, disp_l,
                                            1.0 - shift,
                                            cfg.num_disp, cfg.zero_disp)
-                mids.append(mux_merge_ab(a, b, feathered))
+                    mids.append(mux_merge_ab(a, b, feathered))
             views = (jnp.stack([img_r] + mids + [img_l]) if v > 2
                      else jnp.stack([img_r, img_l]))
             interlaced = mux_multiview_rows(views, cfg.angle, row0)

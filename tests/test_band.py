@@ -505,3 +505,42 @@ def test_warp_views_kern_matches_pair(stereo_pair, rng):
                                      interpret=True)
         np.testing.assert_array_equal(_np(ra), _np(va[j]))
         np.testing.assert_array_equal(_np(rb), _np(vb[j]))
+
+    # x-major data-adaptive twin (the shipping TPU path): bit-identical
+    # transposed, including on NON-integral disparities
+    from stereo_to_multiview_tpu.ops.warpkern import dibr_warp_views_kern_xm
+    fl = disp_l + jnp.asarray(rng.random((h, w)).astype(np.float32)) * 0.9
+    fr = disp_r - jnp.asarray(rng.random((h, w)).astype(np.float32)) * 0.9
+    va, vb = dibr_warp_views_kern(l, r, fl, fr, shifts, nd, zd,
+                                  interpret=True)
+    vax, vbx = dibr_warp_views_kern_xm(l, r, fl, fr, shifts, nd, zd,
+                                       interpret=True)
+    np.testing.assert_array_equal(_np(va), _np(jnp.swapaxes(vax, 1, 2)))
+    np.testing.assert_array_equal(_np(vb), _np(jnp.swapaxes(vbx, 1, 2)))
+
+
+def test_fast_exp_cost_parity(rng):
+    """The polynomial-exp cost path (opt-in; for hardware without a fast
+    exp pipe) is bit-identical to the f32-exp quantizer: exhaustively on
+    the discrete (AD, Hamming) domain for the standard coefficients, and
+    kernel-vs-reference on images."""
+    from stereo_to_multiview_tpu.ops.fastmath import (cost_flip_count,
+                                                      exp_neg, exp_neg_np)
+    assert cost_flip_count(1.0 / 10.0, 1.0 / 30.0) == 0
+    assert cost_flip_count(1.0 / 5.0, 1.0 / 15.0) == 0
+    x = np.linspace(0, 40, 4096).astype(np.float32)
+    a = np.asarray(jnp.vectorize(exp_neg)(jnp.asarray(x)))
+    assert np.abs(a - np.exp(-x.astype(np.float64))).max() < 1e-6
+    assert np.abs(exp_neg_np(x) - np.exp(-x.astype(np.float64))).max() < 1e-6
+
+    from stereo_to_multiview_tpu.ops.costkern import ci_adcensus_kern_xm
+    from stereo_to_multiview_tpu.ops.cost import ci_adcensus_hwd
+    l = jnp.asarray(rng.integers(0, 256, (16, 256, 3), dtype=np.uint8))
+    r = jnp.asarray(rng.integers(0, 256, (16, 256, 3), dtype=np.uint8))
+    a, b = ci_adcensus_kern_xm(l, r, 10.0, 30.0, 16, 8, quant=True,
+                               fast_exp=True, interpret=True)
+    ra, rb = ci_adcensus_hwd(l, r, 10.0, 30.0, 16, 8, fast_exp=True)
+    np.testing.assert_array_equal(
+        _np(a), _np(jnp.rint(ra * 127).astype(jnp.bfloat16)))
+    np.testing.assert_array_equal(
+        _np(b), _np(jnp.rint(rb * 127).astype(jnp.bfloat16)))
