@@ -1,14 +1,16 @@
 #!/usr/bin/env python
-"""North-star fidelity on the REAL bundled fixtures (VERDICT r2 item 4):
-band-engine TPU vs xla-engine CPU on the bud and fish stereo pairs,
-comparing disparities, EVERY synthesized view, and the interlaced frame.
+"""North-star fidelity on the REAL bundled fixtures: band-engine TPU vs
+xla-engine CPU on the bud and fish stereo pairs, comparing disparities,
+EVERY synthesized view, and the interlaced frame -- plus the 1080p bench
+config's disparities (--bench1080).
 
-  python scripts/r3_fidelity.py golden   # CPU xla run -> /tmp/r3_fid.npz
-  python scripts/r3_fidelity.py tpu      # band-TPU run + comparison
+  python scripts/fidelity.py golden [--bench1080]  # CPU xla -> npz
+  python scripts/fidelity.py tpu [--digits N] [--bench1080]
 
 The xla-CPU run is the reference-semantics golden (f32 aggregation, exp
 combine, reference tie rules); the band engine deviates only by the
 documented 1/127 cost quantization + bounded rescale roundings.
+--digits 1 measures the single-digit fast aggregation path.
 """
 
 import argparse
@@ -21,10 +23,10 @@ sys.path.insert(0, ".")
 
 PAIRS = (("bud", "tests/data/bud_2.bmp", "tests/data/bud_3.bmp"),
          ("fish", "tests/data/fish_1.bmp", "tests/data/fish_2.bmp"))
-NPZ = "/tmp/r3_fid.npz"
+NPZ = "/tmp/fid.npz"
 
 
-def _outputs(engine):
+def _outputs(engine, digits=2, bench1080=False):
     import jax.numpy as jnp
     from stereo_to_multiview_tpu.config import BUD, FISH
     from stereo_to_multiview_tpu.models.pipeline import (
@@ -34,8 +36,30 @@ def _outputs(engine):
     import jax
 
     out = {}
-    for name, lp, rp in PAIRS:
-        cfg = (BUD if name == "bud" else FISH).replace(engine=engine)
+    pairs = list(PAIRS)
+    if bench1080:
+        pairs.append(("hd", None, None))
+    for name, lp, rp in pairs:
+        if name == "hd":
+            # the bench config itself: fish-3x bilinear input, 1080p D=128
+            import bench
+            from stereo_to_multiview_tpu.config import HD1080_D128
+            cfg = HD1080_D128.replace(engine=engine, band_digits=digits)
+            sbs = bench.bench_input(cfg)
+            l = jnp.asarray(sbs[:, :cfg.num_cols])
+            r = jnp.asarray(sbs[:, cfg.num_cols:])
+
+            @jax.jit
+            def run_d(l, r, cfg=cfg):
+                dl, dr, _, _ = compute_disparities(l, r, cfg)
+                return dl, dr
+
+            dl, dr = map(np.asarray, run_d(l, r))
+            out["hd_dl"] = dl
+            out["hd_dr"] = dr
+            continue
+        cfg = (BUD if name == "bud" else FISH).replace(engine=engine,
+                                                       band_digits=digits)
         l = jnp.asarray(read_bmp(lp))
         r = jnp.asarray(read_bmp(rp))
 
@@ -55,18 +79,23 @@ def _outputs(engine):
     return out
 
 
-def golden():
+def golden(args):
     import jax
     jax.config.update("jax_platforms", "cpu")
-    np.savez(NPZ, **_outputs("xla"))
+    np.savez(NPZ, **_outputs("xla", bench1080=args.bench1080))
     print("golden written:", NPZ)
 
 
-def tpu():
+def tpu(args):
     from stereo_to_multiview_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
     ref = np.load(NPZ)
-    got = _outputs("band")
+    got = _outputs("band", digits=args.digits, bench1080=args.bench1080)
+    if args.bench1080 and "hd_dl" in ref:
+        dl_bad = np.mean(np.abs(ref["hd_dl"] - got["hd_dl"]) > 1)
+        dr_bad = np.mean(np.abs(ref["hd_dr"] - got["hd_dr"]) > 1)
+        print(f"hd1080 digits={args.digits}: disp_l frac(|d|>1) = "
+              f"{dl_bad:.4f}  disp_r = {dr_bad:.4f}")
     for name, _, _ in PAIRS:
         dl_bad = np.mean(np.abs(ref[f"{name}_dl"] - got[f"{name}_dl"]) > 1)
         dr_bad = np.mean(np.abs(ref[f"{name}_dr"] - got[f"{name}_dr"]) > 1)
@@ -86,5 +115,7 @@ def tpu():
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("phase", choices=("golden", "tpu"))
+    ap.add_argument("--digits", type=int, default=2)
+    ap.add_argument("--bench1080", action="store_true")
     args = ap.parse_args()
-    (golden if args.phase == "golden" else tpu)()
+    (golden if args.phase == "golden" else tpu)(args)

@@ -94,10 +94,6 @@ def compute_disparities(img_l: jnp.ndarray, img_r: jnp.ndarray,
 
     if band:
         from stereo_to_multiview_tpu.ops.band import band_stereo_core_chunked
-        if cfg.use_hslo:
-            raise NotImplementedError(
-                "use_hslo requires engine='xla' (scanline DP is a "
-                "lax.scan, not a band kernel)")
         with stage_scope("stereo_core"):
             # cost init + aggregation + WTA, streamed over row chunks so
             # the (H, W, D) volume never fully materializes in HBM
@@ -112,14 +108,19 @@ def compute_disparities(img_l: jnp.ndarray, img_r: jnp.ndarray,
         acost_r = ops.cross_aggregate(cost_r, arms_r, max_arm=cfg.usd)
 
         if cfg.use_hslo:
+            # quantized costs (xla_agg_qscale) scale the aggregate's
+            # units; the DP penalties must scale with them
+            kq = cfg.xla_agg_qscale if cfg.xla_agg_qscale > 0 else 1.0
             gray_l = ops.mux_average(img_l)
             gray_r = ops.mux_average(img_r)
             acost_l = ops.dc_hslo(acost_l, gray_l, gray_r, cfg.num_disp,
-                                  cfg.zero_disp, cfg.hslo_T, cfg.hslo_H1,
-                                  cfg.hslo_H2, sign=+1)
+                                  cfg.zero_disp, cfg.hslo_T,
+                                  cfg.hslo_H1 * kq, cfg.hslo_H2 * kq,
+                                  sign=+1)
             acost_r = ops.dc_hslo(acost_r, gray_l, gray_r, cfg.num_disp,
-                                  cfg.zero_disp, cfg.hslo_T, cfg.hslo_H1,
-                                  cfg.hslo_H2, sign=-1)
+                                  cfg.zero_disp, cfg.hslo_T,
+                                  cfg.hslo_H1 * kq, cfg.hslo_H2 * kq,
+                                  sign=-1)
 
         disp_l = ops.dc_wta(acost_l, cfg.zero_disp)
         disp_r = ops.dc_wta(acost_r, cfg.zero_disp)

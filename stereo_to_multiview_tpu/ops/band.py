@@ -86,6 +86,8 @@ def _terms(x, mode: str, terms: int):
     exact.  mode 'float': successive bf16 remainders (hi = bf16(x),
     mid = bf16(x - hi), ...) for ~f32 accuracy at `terms` x the bf16 cost.
     """
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.int32)         # no direct u8 -> bf16/f32 in Mosaic
     if mode == "int":
         if terms == 1:
             return [(x.astype(BF16), None)]
@@ -674,6 +676,9 @@ def _pass1_dm_kernel(arms_ref, vol_ref, out_ref, *,
                 an, ap = _dm_unpack_arms(arms_ref, r, a0, width, e)
                 band = _band01(ioff, an, ap, False)
                 xe = x[e * num_disp:(e + 1) * num_disp]
+                if xe.dtype == jnp.uint8:
+                    xe = xe.astype(jnp.int32)
+                xe = xe.astype(BF16)
                 y = jnp.dot(xe, band, preferred_element_type=F32)
                 out_ref[e * num_disp:(e + 1) * num_disp, r,
                         a0:a0 + width] = y.astype(out_ref.dtype)
@@ -940,6 +945,11 @@ def band_stereo_core_chunked(img_l, img_r, arms_l, arms_r, cfg,
     window) is recomputed from the real neighboring rows; the integer
     aggregation makes the result bit-identical to the whole-frame run.
 
+    cfg.use_hslo inserts the horizontal scanline DP (ops.hslo.dc_hslo_hwd,
+    the band layout's native orientation) between aggregation and WTA,
+    with penalties scaled into the quantized aggregate's cost units
+    (agg_cost_scale); rows are DP-independent, so chunking stays exact.
+
     Returns (disp_l, disp_r) float32.
     """
     from stereo_to_multiview_tpu.ops.costkern import ci_adcensus_kern_xm
@@ -957,6 +967,14 @@ def band_stereo_core_chunked(img_l, img_r, arms_l, arms_r, cfg,
     # hands out the extra edge-clamped rows for free, and zero-padded
     # arms keep them out of every window
     ext16 = -(-ext // 16) * 16
+    digits = getattr(cfg, "band_digits", 2)
+
+    if cfg.use_hslo:
+        from stereo_to_multiview_tpu.ops.hslo import dc_hslo_hwd
+        from stereo_to_multiview_tpu.ops.mux import mux_average
+        kappa = agg_cost_scale(usd, digits)
+        gray_l = mux_average(img_l)
+        gray_r = mux_average(img_r)
 
     disp_parts_l, disp_parts_r = [], []
     for start, lo in bounds:
@@ -975,14 +993,29 @@ def band_stereo_core_chunked(img_l, img_r, arms_l, arms_r, cfg,
         n_valid = min(chunk, h - (start + lo))
         v = slice(lo, lo + n_valid)
         zrows = ((0, ext16 - ext),)
-        for cost, arms, parts in ((cost_l, arms_l, disp_parts_l),
-                                  (cost_r, arms_r, disp_parts_r)):
+        if cfg.use_hslo:
+            grow = lambda g: jnp.pad(g[sl], (*zrows, (0, 0)), mode="edge")
+            gl_c, gr_c = grow(gray_l), grow(gray_r)
+        for cost, arms, sign, parts in (
+                (cost_l, arms_l, +1, disp_parts_l),
+                (cost_r, arms_r, -1, disp_parts_r)):
             arms16 = jnp.pad(arms[:, sl], ((0, 0), *zrows, (0, 0)))
-            disp = band_aggregate_q(
-                cost[c_lo:c_lo + ext16], arms16, usd,
-                zero_disp=cfg.zero_disp,
-                digits=getattr(cfg, "band_digits", 2),
-                interpret=interpret)
+            if cfg.use_hslo:
+                vol = band_aggregate_q(
+                    cost[c_lo:c_lo + ext16], arms16, usd,
+                    digits=digits, interpret=interpret).astype(F32)
+                vol = dc_hslo_hwd(vol, gl_c, gr_c, cfg.num_disp,
+                                  cfg.zero_disp, cfg.hslo_T,
+                                  cfg.hslo_H1 * kappa,
+                                  cfg.hslo_H2 * kappa, sign=sign)
+                disp = (jnp.argmin(vol, axis=2)
+                        - cfg.zero_disp).astype(F32)
+            else:
+                disp = band_aggregate_q(
+                    cost[c_lo:c_lo + ext16], arms16, usd,
+                    zero_disp=cfg.zero_disp,
+                    digits=digits,
+                    interpret=interpret)
             parts.append(disp[v])
     if len(disp_parts_l) == 1:
         return disp_parts_l[0], disp_parts_r[0]
@@ -1095,3 +1128,12 @@ def dr_irv_band(disp: jnp.ndarray, outliers: jnp.ndarray, arms: jnp.ndarray,
         return new_disp, new_out
 
     return jax.lax.fori_loop(0, iterations, one_iter, (disp, outliers))
+
+
+def agg_cost_scale(max_arm: int, digits: int = 2) -> float:
+    """Cost-unit scale of the quantized aggregate: band_aggregate_q's
+    output ~= reference f32 aggregate * QSCALE / 2^(s1+s2+s3).  Additive
+    terms applied to the aggregated volume (e.g. HSLO penalties) multiply
+    by this factor to keep their reference strength."""
+    s1, s2, s3 = agg_rescale_shifts(max_arm, digits)
+    return QSCALE / float(2 ** (s1 + s2 + s3))

@@ -108,7 +108,10 @@ def _cost_kernel(*refs, num_disp: int, zero_disp: int,
                     + (F32(1.0) - jnp.exp(-ham.astype(F32) * inv_cen)))
         if quant:
             cost = jnp.rint(cost * F32(_QSCALE))
-        out[idx] = cost.astype(out.dtype)
+            # Mosaic has no direct f32 -> u8 cast; hop through i32
+            out[idx] = cost.astype(jnp.int32).astype(out.dtype)
+        else:
+            out[idx] = cost.astype(out.dtype)
 
     for d in range(num_disp):
         if "l" in eyes:
@@ -236,7 +239,7 @@ def ci_adcensus_kern_stacked(img_l: jnp.ndarray, img_r: jnp.ndarray,
     out_spec = pl.BlockSpec((2 * num_disp, _ROWS, _LANE),
                             lambda y, s: (0, y, s),
                             memory_space=pltpu.VMEM)
-    out_dt = jnp.bfloat16 if quant else jnp.float32
+    out_dt = jnp.uint8 if quant else jnp.float32
     kern = functools.partial(_cost_kernel, num_disp=num_disp,
                              zero_disp=zero_disp,
                              inv_ad=float(1.0 / ad_coeff),
@@ -306,7 +309,9 @@ def _cost_kernel_xm(*refs, num_disp: int, zero_disp: int, sign: int,
                     + (F32(1.0) - jnp.exp(-ham.astype(F32) * inv_cen)))
         if quant:
             cost = jnp.rint(cost * F32(_QSCALE))
-        out_ref[d] = cost.astype(out_ref.dtype)
+            out_ref[d] = cost.astype(jnp.int32).astype(out_ref.dtype)
+        else:
+            out_ref[d] = cost.astype(out_ref.dtype)
 
 
 def _cost_planes_xm(img_l, img_r, h, w, hp, wp):
@@ -343,9 +348,10 @@ def _shear_kernel_xm(r0, r1, r2, out_ref, *, num_disp: int,
     (measured 7.5 ms at 1080p vs ~3 for the roll)."""
     cat = jnp.concatenate([r0[:], r1[:], r2[:]], axis=1)  # (D, 3XT, YL)
     # the hardware rotate is 32-bit only (and in-kernel bitcasts cannot
-    # change bitwidths), so bf16 rides the roll as f32
-    wide = cat.astype(F32) if cat.dtype.itemsize == 2 else cat
-    rolled = pltpu.roll(wide, (3 * _XT - zero_disp) % (3 * _XT), 1,
+    # change bitwidths): narrow dtypes ride the roll at 32 bits
+    if cat.dtype.itemsize != 4:
+        cat = cat.astype(jnp.int32 if cat.dtype == jnp.uint8 else F32)
+    rolled = pltpu.roll(cat, (3 * _XT - zero_disp) % (3 * _XT), 1,
                         stride=1, stride_axis=0)
     out_ref[...] = rolled[:, _XT:2 * _XT, :].astype(out_ref.dtype)
 
@@ -403,7 +409,7 @@ def ci_adcensus_kern_xm(img_l: jnp.ndarray, img_r: jnp.ndarray,
     oth_specs = [pl.BlockSpec((_XT, _YL), lambda x, y, d=d: (x + d, y),
                               memory_space=pltpu.VMEM)
                  for d in range(3)]
-    out_dt = jnp.bfloat16 if quant else jnp.float32
+    out_dt = jnp.uint8 if quant else jnp.float32
     shear = shear and max(zero_disp, num_disp - zero_disp) <= _XT // 2
 
     if shear:
@@ -524,7 +530,7 @@ def ci_adcensus_kern(img_l: jnp.ndarray, img_r: jnp.ndarray,
                             lambda y, s: (0, y, s),
                             memory_space=pltpu.VMEM)
 
-    out_dt = jnp.bfloat16 if quant else jnp.float32
+    out_dt = jnp.uint8 if quant else jnp.float32
     kern = functools.partial(_cost_kernel, num_disp=num_disp,
                              zero_disp=zero_disp,
                              inv_ad=float(1.0 / ad_coeff),

@@ -101,3 +101,80 @@ def dc_hslo(cost: jnp.ndarray, gray_l: jnp.ndarray, gray_r: jnp.ndarray,
     lr = _scan_dir(cost, p1, p2, reverse=False)
     rl = _scan_dir(cost, p1, p2, reverse=True)
     return (lr + rl) * F32(0.5)
+
+
+# ---------------------------------------------------------------------------
+# (H, W, D) layout variant -- the band engine's native orientation (D on
+# the TPU lane axis), so the per-column DP steps are (H, D) vector blocks
+# and no (D, H, W) relayout of the aggregated volume is ever needed.
+# ---------------------------------------------------------------------------
+
+
+def _penalties_hwd(gray_a: jnp.ndarray, gray_b: jnp.ndarray, num_disp: int,
+                   zero_disp: int, T: float, H1: float, H2: float,
+                   sign: int):
+    """(H, W, D) adaptive penalties; same tiers as _penalties."""
+    from stereo_to_multiview_tpu.ops import shiftops
+    ga = gray_a.astype(F32)
+    gb = gray_b.astype(F32)
+    d1 = jnp.abs(ga - shiftops.shift(ga, 1, -1))
+    d2_full = jnp.abs(gb - shiftops.shift(gb, 1, -1))
+    d2 = jnp.stack([
+        shiftops.shift(d2_full, 1, sign * (d - zero_disp))
+        for d in range(num_disp)
+    ], axis=2)
+    small1 = d1[:, :, None] < F32(T)
+    small2 = d2 < F32(T)
+    scale = jnp.where(small1 & small2, F32(1.0),
+                      jnp.where(small1 | small2, F32(0.25), F32(0.1)))
+    return F32(H1) * scale, F32(H2) * scale
+
+
+def _scan_dir_hwd(cost: jnp.ndarray, p1: jnp.ndarray, p2: jnp.ndarray,
+                  reverse: bool) -> jnp.ndarray:
+    """One-direction DP over columns of an (H, W, D) volume: each scan
+    step is an (H, D) block with D riding the lanes."""
+    c = jnp.moveaxis(cost, 1, 0)      # (W, H, D)
+    p1 = jnp.moveaxis(p1, 1, 0)
+    p2 = jnp.moveaxis(p2, 1, 0)
+
+    def step(prev, inp):
+        ci, p1i, p2i = inp            # (H, D)
+        mn = prev.min(axis=1, keepdims=True)          # (H, 1)
+        big = jnp.broadcast_to(BIG, prev.shape[:1] + (1,))
+        up = jnp.concatenate([prev[:, 1:], big], axis=1)
+        dn = jnp.concatenate([big, prev[:, :-1]], axis=1)
+        best = jnp.minimum(jnp.minimum(prev, mn + p2i),
+                           jnp.minimum(up, dn) + p1i)
+        out = ci + best - mn
+        return out, out
+
+    init = c[-1] if reverse else c[0]
+    xs = (c[:-1][::-1], p1[:-1][::-1], p2[:-1][::-1]) if reverse else \
+         (c[1:], p1[1:], p2[1:])
+    _, outs = jax.lax.scan(step, init, xs)
+    if reverse:
+        res = jnp.concatenate([outs[::-1], init[None]], axis=0)
+    else:
+        res = jnp.concatenate([init[None], outs], axis=0)
+    return jnp.moveaxis(res, 0, 1)    # back to (H, W, D)
+
+
+def dc_hslo_hwd(cost: jnp.ndarray, gray_l: jnp.ndarray, gray_r: jnp.ndarray,
+                num_disp: int, zero_disp: int, T: float = 15.0,
+                H1: float = 1.0, H2: float = 3.0,
+                sign: int = +1) -> jnp.ndarray:
+    """dc_hslo on an (H, W, D) volume (the band engine's layout): same
+    per-element f32 math, no volume relayout.  When the volume is the
+    quantized integer aggregate, scale H1/H2 by its cost-unit factor
+    (ops.band.agg_cost_scale) so the penalties keep their reference
+    strength relative to the data term."""
+    if sign < 0:
+        p1, p2 = _penalties_hwd(gray_r, gray_l, num_disp, zero_disp, T,
+                                H1, H2, sign=-1)
+    else:
+        p1, p2 = _penalties_hwd(gray_l, gray_r, num_disp, zero_disp, T,
+                                H1, H2, sign=+1)
+    lr = _scan_dir_hwd(cost, p1, p2, reverse=False)
+    rl = _scan_dir_hwd(cost, p1, p2, reverse=True)
+    return (lr + rl) * F32(0.5)

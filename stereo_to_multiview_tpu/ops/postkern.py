@@ -8,10 +8,10 @@ blocks are resident in VMEM, and every (dy, dx) tap is a static sublane
 slice + a lane-roll window -- one fused VPU pass per tap, no HBM
 intermediates.
 
-Semantics match ops.filters.filter_bilateral exactly (same accumulation
-order, d_filter_bilateral.cu:222-304 with the LUT replaced by direct exp
-on the truncated index); values agree with the XLA path up to exp
-rounding between backends.
+Semantics match ops.filters.filter_bilateral (d_filter_bilateral.cu:
+222-304 with the LUT replaced by direct exp on the truncated index);
+values agree with the XLA path to f32 tolerance (the kernel iterates
+dx-outer to share lane rolls, so the f32 accumulation order differs).
 """
 
 from __future__ import annotations
@@ -48,7 +48,11 @@ def _window(chunks, lo: int, rows: int):
 def _bilat_kernel(b0, b1, b2, out_ref, *, radius: int, sk, inv_2var: float,
                   lut_scale: float, n_tiles: int):
     """One _ROWS-row step.  b0/b1/b2: consecutive (ROWS, WP + 256) row
-    blocks of the edge-padded map; the output rows are b1's rows."""
+    blocks of the edge-padded map; the output rows are b1's rows.
+
+    Loop order dx-outer: the lane-roll window is built ONCE per dx on
+    the full 3-block row span and every dy is then a free sublane slice
+    -- (2r+1) rolls per tile instead of (2r+1)^2."""
     full = jnp.concatenate([b0[:], b1[:], b2[:]], axis=0)  # (3R, WP+256)
 
     for t in range(n_tiles):
@@ -56,12 +60,12 @@ def _bilat_kernel(b0, b1, b2, out_ref, *, radius: int, sk, inv_2var: float,
         center = full[_ROWS:2 * _ROWS, base:base + _LANE]
         num = jnp.zeros((_ROWS, _LANE), F32)
         den = jnp.zeros((_ROWS, _LANE), F32)
-        for dy in range(-radius, radius + 1):
-            shifted = full[_ROWS + dy:2 * _ROWS + dy]
-            chunks = [shifted[:, base - _LANE + k * _LANE:
-                              base + k * _LANE] for k in range(3)]
-            for dx in range(-radius, radius + 1):
-                s = _window(chunks, _LANE + dx, _ROWS)
+        chunks = [full[:, base - _LANE + k * _LANE:base + k * _LANE]
+                  for k in range(3)]
+        for dx in range(-radius, radius + 1):
+            w = _window(chunks, _LANE + dx, 3 * _ROWS)
+            for dy in range(-radius, radius + 1):
+                s = w[_ROWS + dy:2 * _ROWS + dy]
                 t_i = jnp.floor(jnp.abs(center - s))
                 rw = jnp.exp(-(t_i * t_i) * F32(inv_2var)) * F32(lut_scale)
                 wgt = F32(sk[dy + radius, dx + radius]) * rw

@@ -144,7 +144,44 @@ def disp_sharded_disparities(mesh: Mesh, cfg: PipelineConfig,
                 disp = jnp.where(k == i, locs[i], disp)
             return (disp - zd).astype(F32)
 
-        return wta(acost_l), wta(acost_r)
+        if not cfg.use_hslo:
+            return wta(acost_l), wta(acost_r)
+
+        # HSLO couples every d per column, so D-shards cannot run the
+        # scanline DP locally.  Reshard disparity -> rows with ONE
+        # all_to_all (each device trades its D-slice of other devices'
+        # rows for all D of its own rows -- the sequence-parallel
+        # "Ulysses" move), run the full-D DP + WTA on the local row
+        # slab, and all_gather the disparity rows back.
+        h, w = img_l.shape[:2]
+        if h % n:
+            raise ValueError("use_hslo with disparity sharding needs "
+                             "num_rows divisible by the mesh")
+        if band:
+            from stereo_to_multiview_tpu.ops.band import agg_cost_scale
+            kq = agg_cost_scale(usd, getattr(cfg, "band_digits", 2))
+        else:
+            kq = cfg.xla_agg_qscale if cfg.xla_agg_qscale > 0 else 1.0
+        hloc = h // n
+        gray_l = ops.mux_average(img_l)
+        gray_r = ops.mux_average(img_r)
+        gl = jax.lax.dynamic_slice(gray_l, (d0 // dloc * hloc, 0),
+                                   (hloc, w))
+        gr = jax.lax.dynamic_slice(gray_r, (d0 // dloc * hloc, 0),
+                                   (hloc, w))
+
+        def hslo_wta(acost, sign):
+            full = jax.lax.all_to_all(acost.astype(F32), disp_axis,
+                                      split_axis=1, concat_axis=0,
+                                      tiled=True)       # (nd, hloc, W)
+            a = ops.dc_hslo(full, gl, gr, nd, zd, cfg.hslo_T,
+                            cfg.hslo_H1 * kq, cfg.hslo_H2 * kq,
+                            sign=sign)
+            rows = (jnp.argmin(a, axis=0).astype(jnp.int32)
+                    - zd).astype(F32)                   # (hloc, W)
+            return jax.lax.all_gather(rows, disp_axis, tiled=True)
+
+        return hslo_wta(acost_l, +1), hslo_wta(acost_r, -1)
 
     from jax import shard_map
     # check_vma off: outputs are made replicated by the all_gather+argmin

@@ -190,6 +190,21 @@ def halo_process_frame(mesh: Mesh, cfg: PipelineConfig,
             cost_l, cost_r = xla_quant_costs(cost_l, cost_r, cfg)
             acost_l = ops.cross_aggregate(cost_l, arms_l, max_arm=usd)
             acost_r = ops.cross_aggregate(cost_r, arms_r, max_arm=usd)
+            if cfg.use_hslo:
+                # rows are DP-independent: the extended shard's rows get
+                # full-width scans, bit-identical to the unsharded graph
+                kq = (cfg.xla_agg_qscale if cfg.xla_agg_qscale > 0
+                      else 1.0)
+                gl = ops.mux_average(ext_l)
+                gr = ops.mux_average(ext_r)
+                acost_l = ops.dc_hslo(acost_l, gl, gr, cfg.num_disp,
+                                      cfg.zero_disp, cfg.hslo_T,
+                                      cfg.hslo_H1 * kq, cfg.hslo_H2 * kq,
+                                      sign=+1)
+                acost_r = ops.dc_hslo(acost_r, gl, gr, cfg.num_disp,
+                                      cfg.zero_disp, cfg.hslo_T,
+                                      cfg.hslo_H1 * kq, cfg.hslo_H2 * kq,
+                                      sign=-1)
             disp_l = ops.dc_wta(acost_l, cfg.zero_disp)
             disp_r = ops.dc_wta(acost_r, cfg.zero_disp)
 

@@ -383,8 +383,9 @@ def test_band_engine_pipeline_close(stereo_pair):
 
 
 def test_bilateral_kern_matches_xla(stereo_pair, rng):
-    """Pallas bilateral filter vs ops.filters.filter_bilateral: identical
-    accumulation order, so interpret mode matches bit for bit."""
+    """Pallas bilateral filter vs ops.filters.filter_bilateral: same
+    taps and weights (accumulation order differs: the kernel iterates
+    dx-outer to share lane rolls), so values agree to f32 tolerance."""
     from stereo_to_multiview_tpu.ops.postkern import filter_bilateral_kern
     left, _ = stereo_pair
     h, w = left.shape[:2]

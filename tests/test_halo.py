@@ -146,3 +146,33 @@ def test_halo_rejects_bad_geometry(mesh):
                          num_cols_out=64, num_disp=8, zero_disp=4)
     with pytest.raises(ValueError):
         halo_process_frame(mesh, cfg)
+
+
+def test_halo_hslo_exact(mesh):
+    """use_hslo under row sharding: the scanline DP is row-independent
+    and every shard scans full-width rows, so both engines must match
+    the single-device graph bit for bit (band: integer aggregation + the
+    same f32 DP; xla: integer-quantized costs with qscale-scaled
+    penalties)."""
+    rng = np.random.default_rng(23)
+    h, w = 96, 48
+    base = rng.integers(0, 256, (h, w + 6, 3)).astype(np.float32)
+    k = np.ones(3) / 3.0
+    for ax in (0, 1):
+        base = np.apply_along_axis(
+            lambda m: np.convolve(m, k, mode="same"), ax, base)
+    left = base[:, :w].astype(np.uint8)
+    right = base[:, 3:3 + w].astype(np.uint8)
+    sbs = np.concatenate([left, right], axis=1)
+
+    for engine, qscale in (("band", 0.0), ("xla", 8.0)):
+        cfg = PipelineConfig(num_rows=h, num_cols=w, num_rows_out=h,
+                             num_cols_out=w, num_disp=8, zero_disp=4,
+                             usd=5, lsd=2, irv_iterations=1,
+                             bilateral_radius=2, feather_radius=2,
+                             num_views=4, engine=engine,
+                             xla_agg_qscale=qscale, use_hslo=True)
+        ref = list(map(np.asarray, process_frame(sbs, cfg)))
+        out = list(map(np.asarray, halo_process_frame(mesh, cfg)(sbs)))
+        for r, o in zip(ref, out):
+            np.testing.assert_array_equal(r, o, err_msg=engine)
