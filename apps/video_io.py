@@ -73,6 +73,13 @@ def main(argv=None):
         src = Y4MSource(path, loop=not args.no_loop,
                         max_frames=args.frames)
         h, w_sbs = src.h, src.w
+    elif os.path.isfile(path):
+        # any other container: ffmpeg yuv4mpegpipe subprocess -> Y4M
+        # parser (needs the ffmpeg binary; no Python dependency)
+        from stereo_to_multiview_tpu.models.stream import FFmpegSource
+        src = FFmpegSource(path, loop=not args.no_loop,
+                           max_frames=args.frames)
+        h, w_sbs = src.h, src.w
     else:
         src = FrameSource(path, pair_mode=args.pair_mode,
                           loop=not args.no_loop, max_frames=args.frames)

@@ -105,6 +105,65 @@ class Y4MSource:
                 return
 
 
+class FFmpegSource:
+    """SBS frame source from ANY container ffmpeg can open (mp4, mkv,
+    webm, ...): an `ffmpeg -i X -f yuv4mpegpipe -` subprocess feeds the
+    Y4M parser -- the full analog of the reference's cv::VideoCapture
+    (video_io.cpp:77), which also delegates demux/decode to a library.
+    EOF looping (video_io.cpp:148-153) restarts the subprocess (pipes
+    cannot rewind).  Requires the `ffmpeg` binary on PATH; no Python
+    dependency."""
+
+    def __init__(self, path: str, loop: bool = True,
+                 max_frames: Optional[int] = None, ffmpeg: str = "ffmpeg"):
+        import shutil
+        self.path = path
+        self.loop = loop
+        self.max_frames = max_frames
+        self.ffmpeg = ffmpeg
+        if shutil.which(ffmpeg) is None:
+            raise FileNotFoundError(
+                f"'{ffmpeg}' not on PATH -- install ffmpeg or pre-convert "
+                f"with `ffmpeg -i {path} out.y4m` and pass the .y4m")
+        self._proc = None
+        self._reader = self._spawn()
+        self.h, self.w = self._reader.h, self._reader.w
+
+    def _command(self):
+        return [self.ffmpeg, "-v", "error", "-nostdin", "-i", self.path,
+                "-f", "yuv4mpegpipe", "-pix_fmt", "yuv420p", "-"]
+
+    def _spawn(self):
+        import subprocess
+        from stereo_to_multiview_tpu.utils.y4m import Y4MReader
+        self._close_proc()
+        self._proc = subprocess.Popen(self._command(),
+                                      stdout=subprocess.PIPE)
+        return Y4MReader(self._proc.stdout)
+
+    def _close_proc(self):
+        if self._proc is not None:
+            self._proc.stdout.close()
+            self._proc.wait()
+            self._proc = None
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        n = 0
+        while True:
+            fr = self._reader.read_frame()
+            if fr is None:
+                if not self.loop or n == 0:
+                    self._close_proc()
+                    return
+                self._reader = self._spawn()
+                continue
+            yield fr
+            n += 1
+            if self.max_frames is not None and n >= self.max_frames:
+                self._close_proc()
+                return
+
+
 def native_source(path: str, pair_mode: bool = False, loops: int = 1,
                   depth: int = 4, threads: int = 2):
     """Frame iterator backed by the native C++ decode queue

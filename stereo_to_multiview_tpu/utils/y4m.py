@@ -74,14 +74,18 @@ def bgr_to_yuv(img: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 class Y4MReader:
-    """Sequential Y4M frame reader -> BGR uint8 frames."""
+    """Sequential Y4M frame reader -> BGR uint8 frames.  Accepts a path
+    or any binary file object (e.g. an ffmpeg yuv4mpegpipe stdout --
+    rewind() is then unavailable; loop by reopening the producer)."""
 
-    def __init__(self, path: str):
-        self.f: io.BufferedReader = open(path, "rb")
+    def __init__(self, src):
+        self.f = open(src, "rb") if isinstance(src, (str, bytes)) else src
         self.w, self.h, self.cs = _parse_header(self.f.readline())
-        self._data_start = self.f.tell()
+        self._data_start = self.f.tell() if self.f.seekable() else None
 
     def rewind(self) -> None:
+        if self._data_start is None:
+            raise io.UnsupportedOperation("pipe source cannot rewind")
         self.f.seek(self._data_start)
 
     def read_frame(self) -> np.ndarray | None:

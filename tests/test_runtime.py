@@ -179,3 +179,41 @@ def test_y4m_stream_through_pipeline(tmp_path):
     stream(src, cfg, on_frame=lambda i, dl, dr, il: seen.append(i),
            verbose=False)
     assert seen == [0, 1, 2, 3, 4]
+
+
+def test_ffmpeg_pipe_source(tmp_path):
+    """FFmpegSource: any-container ingestion through a yuv4mpegpipe
+    subprocess into the Y4M parser (video_io.cpp:77 analog).  The
+    producer here is a stub command streaming a generated clip (the
+    real ffmpeg binary emits the identical format), exercising the pipe
+    plumbing, EOF-loop respawn, and max_frames."""
+    import sys
+    import numpy as np
+    from stereo_to_multiview_tpu.utils.y4m import write_y4m, Y4MReader
+    from stereo_to_multiview_tpu.models.stream import FFmpegSource
+
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 256, (32, 64, 3), dtype=np.uint8)
+              for _ in range(3)]
+    clip = str(tmp_path / "clip.y4m")
+    write_y4m(clip, frames, colorspace="C420")
+
+    class StubSource(FFmpegSource):
+        def _command(self):
+            return [sys.executable, "-c",
+                    "import sys, shutil; "
+                    "shutil.copyfileobj(open(sys.argv[1], 'rb'), "
+                    "sys.stdout.buffer)", self.path]
+
+    src = StubSource(clip, loop=True, max_frames=7, ffmpeg=sys.executable)
+    got = list(src)
+    assert len(got) == 7                      # EOF respawn looped 3+3+1
+    ref = list(Y4MReader(clip))               # same decode path
+    for i, fr in enumerate(got):
+        np.testing.assert_array_equal(fr, ref[i % 3])
+    assert src.h == 32 and src.w == 64
+
+    # missing binary -> clear error
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        FFmpegSource(clip, ffmpeg="definitely-not-ffmpeg-xyz")
