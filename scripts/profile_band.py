@@ -246,7 +246,13 @@ def main():
         # subsample the (V-2, H, W, 3) f32 outputs: lax.map would stack
         # batch x views full frames (25 GB at batch 4); the kernel's work
         # is opaque to DCE so the timing is unaffected
-        timed("s:warp_views", lambda l, r, a, b: jax.tree.map(
+        from stereo_to_multiview_tpu.ops.warpkern import (
+            dibr_warp_views_kern_xm)
+        timed("s:warp_views xm", lambda l, r, a, b: jax.tree.map(
+            lambda v: v[:, ::16, ::16], dibr_warp_views_kern_xm(
+                l, r, a, b, shifts, cfg.num_disp, cfg.zero_disp, interp)),
+            img_l, img_r, disp_l, disp_r)
+        timed("s:warp_views natural", lambda l, r, a, b: jax.tree.map(
             lambda v: v[:, ::16, ::16], dibr_warp_views_kern(
                 l, r, a, b, shifts, cfg.num_disp, cfg.zero_disp, interp)),
             img_l, img_r, disp_l, disp_r)

@@ -20,12 +20,13 @@ roofline bound is max(mxu, vpu, hbm) -- the binding resource -- and
 the algorithm's op count; a stage at 10% is an optimization target.
 
 v5e peak numbers (public: cloud.google.com/tpu/docs/v5e and the JAX
-scaling book): 197 bf16 TFLOP/s (4 MXUs), HBM 819 GB/s.  The VPU issues
-8x128-lane vector ops from 4 ALU ports at the ~1.5 GHz core clock =>
-~6.1e12 f32 element-ops/s IF every port dual-issues every cycle; real
-kernels with mixed op chains sustain nearer one vreg-op/cycle/port.
-We report floors at the optimistic 4-port peak -- "% of light" is
-therefore conservative (the true ceiling is lower).
+scaling book): 197 bf16 TFLOP/s (4 MXUs), HBM 819 GB/s.  The VPU's
+4-port (8,128) issue peak would be ~6.1e12 f32 element-ops/s, but a
+dependent add/mul chain microbenchmark (Pallas, VMEM-resident, relay
+amortized) sustains 1.6-2.0e9 vreg-ops/s = ~2.0e12 element-ops/s on
+this chip -- the MEASURED ceiling real kernels see.  Floors here use
+the measured rate; the analysis therefore says what is actually
+reachable, not what a datasheet implies.
 
 Measured ms come from scripts/profile_band.py (relay-amortized, net of
 dispatch); pass them with --measured 'stage=ms,stage=ms,...' or accept
@@ -37,7 +38,7 @@ import sys
 
 CLK = 1.5e9                      # v5e core clock (197e12 / (4*2*128*128))
 MXU_FLOPS = 197e12               # bf16
-VPU_EOPS = 4 * 8 * 128 * CLK     # 6.1e12 element-ops/s (4-port peak)
+VPU_EOPS = 2.0e12                # measured sustained (microbench; 4-port datasheet peak would be 6.1e12)
 HBM_BPS = 819e9
 EXP_COST = 12.0                  # VPU element-ops per transcendental
                                  # (polynomial exp2 lowering, measured
@@ -227,9 +228,8 @@ def main():
         line += f" {tot_meas:7.1f} {100 * tot_bound / tot_meas:5.0f}%"
     print(line)
     print(f"\nroofline frame floor {tot_bound:.1f} ms = "
-          f"{1e3 / tot_bound:.1f} fps (optimistic: 4-port VPU peak, "
-          f"zero slicing/roll/launch overhead, perfect overlap never "
-          f"assumed -- stage floors simply add)")
+          f"{1e3 / tot_bound:.1f} fps at the MEASURED VPU rate (zero "
+          f"slicing/launch overhead assumed; stage floors simply add)")
     return 0
 
 
