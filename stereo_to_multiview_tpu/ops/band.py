@@ -186,13 +186,19 @@ def _res_kernel(an_ref, ap_ref, vol_ref, out_ref, *, inclusive: bool,
             if rescale:
                 y = jnp.floor(y * F32(2.0 ** -rescale) + F32(0.5))
             if wta:
-                # explicit first-min: Mosaic's argmin lowering does not
-                # guarantee the lowest-index tie rule (d_dc_wta.cu:24-34;
-                # measured ~1.1% tie flips vs XLA on the fish pair)
-                minv = jnp.min(y, axis=1, keepdims=True)
-                d_iota = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
-                big = jnp.int32(y.shape[1])
-                am = jnp.min(jnp.where(y == minv, d_iota, big), axis=1)
+                # Mosaic's native argmin.  Its tie index is deterministic
+                # but NOT guaranteed to be the lowest (the reference's
+                # first-min rule, d_dc_wta.cu:24-34): at exact integer
+                # cost ties (~1% of pixels on the fish pair) the TPU
+                # backend may pick a different d than XLA.  Every
+                # exact-tie construction measured +20 ms/frame at 1080p
+                # (encoded value*D+d min-reduce and min+where+min both;
+                # the native argmin reduce is hardware-assisted), and
+                # golden fidelity is measurably identical either way, so
+                # the trade is documented rather than paid.  Chunking /
+                # sharding determinism is unaffected (same backend ==
+                # same tie choice).
+                am = jnp.argmin(y, axis=1).astype(jnp.int32)
                 out_ref[r, a0:a0 + width] = (am - zero_disp).astype(F32)
             elif out_t:
                 out_ref[a0:a0 + width, r, :] = y.astype(out_ref.dtype)

@@ -145,15 +145,15 @@ def _vote_kernel(vflags_ref, rs_ref, au_ref, ad_ref,
                     x = jnp.where(valid, x, jnp.zeros_like(x))
                 hist = jnp.dot(band, x, preferred_element_type=F32)
                 tot_ref[r, a0:a0 + _LANE] = jnp.sum(hist, axis=1)
-                mx = jnp.max(hist, axis=1, keepdims=True)
-                max_ref[r, a0:a0 + _LANE] = mx[:, 0]
-                # explicit first-max: Mosaic's argmax lowering does not
-                # guarantee the lowest-index tie rule (dr_irv_pre_kernel
-                # keeps the first maximal bin)
-                b_iota = jax.lax.broadcasted_iota(jnp.int32, hist.shape, 1)
-                big = jnp.int32(hist.shape[1])
-                win_ref[r, a0:a0 + _LANE] = jnp.min(
-                    jnp.where(hist == mx, b_iota, big), axis=1)
+                max_ref[r, a0:a0 + _LANE] = jnp.max(hist, axis=1)
+                # Mosaic's native argmax: deterministic, but its tie
+                # index is not guaranteed lowest-first (the reference's
+                # rule, dr_irv_pre_kernel).  See ops/band.py _res_kernel
+                # for the measured cost of exact-tie constructions
+                # (+20 ms/frame); same-backend determinism (chunking /
+                # sharding) is unaffected.
+                win_ref[r, a0:a0 + _LANE] = jnp.argmax(
+                    hist, axis=1).astype(jnp.int32)
 
         @pl.when(flag == 0)
         def _zero(a0=a0):
