@@ -40,9 +40,10 @@ CLK = 1.5e9                      # v5e core clock (197e12 / (4*2*128*128))
 MXU_FLOPS = 197e12               # bf16
 VPU_EOPS = 2.0e12                # measured sustained (microbench; 4-port datasheet peak would be 6.1e12)
 HBM_BPS = 819e9
-EXP_COST = 12.0                  # VPU element-ops per transcendental
-                                 # (polynomial exp2 lowering, measured
-                                 # order; XLA's exp is in this ballpark)
+EXP_COST = 3.0                   # VPU element-ops per transcendental:
+                                 # the v5e has a hardware exp pipe
+                                 # (measured: the cost kernel's 1.3G
+                                 # exps cost ~1 ms total)
 
 
 def fmt(x, unit):
@@ -115,7 +116,7 @@ def stage_model(H, W, D, V, usd, lsd, r_bil, r_feather, irv_rounds):
     # ---- dcc (postkern._dcc_kernel value loop) ----
     st["dcc"] = dict(macs=0, eops=E * N * D * 6, exps=0,
                      bytes=E * N * (4 + 4) * 2,
-                     note="D-value loop, 6 ops/(pixel,d)")
+                     note="D-value loop over the FULL range; the shipping kernel is data-adaptive (per-block range)")
 
     # ---- IRV (irvkern fused round; data-dependent early stop) ----
     # per round: one-hot E*N*D ~2; two inclusive band passes (1 digit,
@@ -137,7 +138,7 @@ def stage_model(H, W, D, V, usd, lsd, r_bil, r_feather, irv_rounds):
 
     # ---- synthesis ----
     st["occl"] = dict(macs=0, eops=E * N * D * 4, exps=0,
-                      bytes=E * N * 8, note="D-value loop, 4 ops")
+                      bytes=E * N * 8, note="full-range value loop; shipping kernel adaptive")
     st["bleed+mask"] = dict(macs=0, eops=E * N * 9 * 2, exps=0,
                             bytes=E * N * 8, note="3x3 count")
     ftaps = 2 * (2 * r_feather + 1)
@@ -153,7 +154,7 @@ def stage_model(H, W, D, V, usd, lsd, r_bil, r_feather, irv_rounds):
     eops = N * (sumw * 7 + union * 3 * 6) + N * len(shifts) * 2 * 12
     st["warp_views"] = dict(macs=0, eops=int(eops), exps=0,
                             bytes=int(N * (6 * 4 + len(shifts) * 2 * 3 * 4)),
-                            note=f"select chains, sum widths {int(sumw)}")
+                            note=f"static sum widths {int(sumw)}; shipping kernel adaptive (below this floor on real content)")
     st["merge+mask"] = dict(macs=0, eops=N * len(shifts) * 3 * 8, exps=0,
                             bytes=N * len(shifts) * 3 * (4 * 2 + 1),
                             note="mask mul + truncating blend")
@@ -163,9 +164,26 @@ def stage_model(H, W, D, V, usd, lsd, r_bil, r_feather, irv_rounds):
     return st
 
 
-# r4 measured stage table (scripts/profile_band.py --input fish, 1x v5e,
-# net of relay dispatch) -- update alongside BASELINE.md.
-MEASURED_R4 = {}
+# r4 measured stage table (fish-3x input, 1x v5e, lax.map batch 8-16,
+# net of relay dispatch; outputs reduced but kernel work DCE-proof) --
+# update alongside BASELINE.md.  "agg+wta" = band_aggregate_q both eyes
+# with the cost volumes precomputed; "cost" = ci_adcensus_kern_xm with
+# outputs sum-consumed (the relayouts cannot be dead-code-eliminated).
+MEASURED_R4 = {
+    "arms_lr": 3.7,
+    "cost": 9.4,           # ci_adcensus_kern_xm, outputs sum-consumed
+    "agg+wta": 33.0,       # band_aggregate_q both eyes, volumes as args
+                           # (9.4 + 33.0 reconciles the 43.0 ms core)
+    "dcc": 2.8,
+    "irv": 34.5 / 5 * 2,   # standalone 34.5 at 5 rounds; ~2 effective
+    "bilateral": 4.4,
+    "occl": 2.0,
+    "bleed+mask": 2.1,
+    "feather": 1.1,
+    "warp_views": 6.6,
+    "merge+mask": 2.0,
+    "mux": 0.7,
+}
 
 
 def main():
