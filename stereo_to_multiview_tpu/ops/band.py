@@ -506,7 +506,8 @@ def band_aggregate_q(cost_q: jnp.ndarray, arms: jnp.ndarray, max_arm: int,
                      zero_disp: int | None = None,
                      interpret: bool = False, rows: int = _ROWS,
                      otile: int = _LANE,
-                     digits: int = 2) -> jnp.ndarray:
+                     digits: int = 2,
+                     final_out_t: bool = False) -> jnp.ndarray:
     """Four-pass cross aggregation (live order H,V,V,H, d_ca_cross.cu:
     255-271) on a quantized (H, W, D) volume of integers <= 254 (see
     quantize_cost), with exact integer arithmetic throughout; `max_arm`
@@ -550,8 +551,21 @@ def band_aggregate_q(cost_q: jnp.ndarray, arms: jnp.ndarray, max_arm: int,
     if not out_t:
         a = jnp.swapaxes(a, 0, 1)
     if zero_disp is None:
-        return _band_pass_h(a, arms[LEFT], arms[RIGHT], mode="int",
-                            terms=digits, **kw)
+        # final_out_t: emit the aggregated volume (W, H, D) via the same
+        # transposed in-kernel stores the inter-pass chain uses (the
+        # fused HSLO kernel's native orientation); falls back to an XLA
+        # swap when D is not 128-aligned
+        if final_out_t and out_t:
+            # int16 output: pass-4 values stay below 2^15 (the rescale
+            # invariants), and the HSLO kernel converts on load
+            return _band_pass_h(a, arms[LEFT], arms[RIGHT], mode="int",
+                                terms=digits, out_t=True,
+                                out_dtype=jnp.int16, **kw)
+        vol = _band_pass_h(a, arms[LEFT], arms[RIGHT], mode="int",
+                           terms=digits,
+                           out_dtype=jnp.int16 if final_out_t
+                           else jnp.float32, **kw)
+        return jnp.swapaxes(vol, 0, 1) if final_out_t else vol
     return _band_pass_h(a, arms[LEFT], arms[RIGHT], mode="int",
                         terms=digits, wta=True, zero_disp=zero_disp, **kw)
 
@@ -982,7 +996,7 @@ def band_stereo_core_chunked(img_l, img_r, arms_l, arms_r, cfg,
     digits = getattr(cfg, "band_digits", 2)
 
     if cfg.use_hslo:
-        from stereo_to_multiview_tpu.ops.hslo import dc_hslo_hwd
+        from stereo_to_multiview_tpu.ops.hslokern import dc_hslo_wta_kern
         from stereo_to_multiview_tpu.ops.mux import mux_average
         kappa = agg_cost_scale(usd, digits)
         gray_l = mux_average(img_l)
@@ -1015,13 +1029,14 @@ def band_stereo_core_chunked(img_l, img_r, arms_l, arms_r, cfg,
             if cfg.use_hslo:
                 vol = band_aggregate_q(
                     cost[c_lo:c_lo + ext16], arms16, usd,
-                    digits=digits, interpret=interpret).astype(F32)
-                vol = dc_hslo_hwd(vol, gl_c, gr_c, cfg.num_disp,
-                                  cfg.zero_disp, cfg.hslo_T,
-                                  cfg.hslo_H1 * kappa,
-                                  cfg.hslo_H2 * kappa, sign=sign)
-                disp = (jnp.argmin(vol, axis=2)
-                        - cfg.zero_disp).astype(F32)
+                    digits=digits, interpret=interpret,
+                    final_out_t=True)
+                ga, gb = (gl_c, gr_c) if sign > 0 else (gr_c, gl_c)
+                disp = dc_hslo_wta_kern(
+                    vol, ga, gb, cfg.num_disp, cfg.zero_disp,
+                    cfg.hslo_T, cfg.hslo_H1 * kappa,
+                    cfg.hslo_H2 * kappa, sign=sign,
+                    interpret=interpret)
             else:
                 disp = band_aggregate_q(
                     cost[c_lo:c_lo + ext16], arms16, usd,

@@ -170,15 +170,33 @@ def disp_sharded_disparities(mesh: Mesh, cfg: PipelineConfig,
         gr = jax.lax.dynamic_slice(gray_r, (d0 // dloc * hloc, 0),
                                    (hloc, w))
 
+        from stereo_to_multiview_tpu.models import pipeline as _pl
+        interpret2 = (jax.default_backend() == "cpu"
+                      and not _pl.FORCE_MOSAIC)
+
         def hslo_wta(acost, sign):
             full = jax.lax.all_to_all(acost.astype(F32), disp_axis,
                                       split_axis=1, concat_axis=0,
                                       tiled=True)       # (nd, hloc, W)
-            a = ops.dc_hslo(full, gl, gr, nd, zd, cfg.hslo_T,
-                            cfg.hslo_H1 * kq, cfg.hslo_H2 * kq,
-                            sign=sign)
-            rows = (jnp.argmin(a, axis=0).astype(jnp.int32)
-                    - zd).astype(F32)                   # (hloc, W)
+            if band:
+                # the SAME fused DP+WTA kernel the band core runs (the
+                # DP carry's f32 association is kernel-specific, so
+                # bit-exactness vs single device requires the identical
+                # kernel); its (H, W, D) layout wants one moveaxis of
+                # the row slab
+                from stereo_to_multiview_tpu.ops.hslokern import (
+                    dc_hslo_wta_kern)
+                ga, gb = (gl, gr) if sign > 0 else (gr, gl)
+                rows = dc_hslo_wta_kern(
+                    jnp.transpose(full, (2, 1, 0)), ga, gb, nd, zd,
+                    cfg.hslo_T, cfg.hslo_H1 * kq, cfg.hslo_H2 * kq,
+                    sign=sign, interpret=interpret2)
+            else:
+                a = ops.dc_hslo(full, gl, gr, nd, zd, cfg.hslo_T,
+                                cfg.hslo_H1 * kq, cfg.hslo_H2 * kq,
+                                sign=sign)
+                rows = (jnp.argmin(a, axis=0).astype(jnp.int32)
+                        - zd).astype(F32)               # (hloc, W)
             return jax.lax.all_gather(rows, disp_axis, tiled=True)
 
         return hslo_wta(acost_l, +1), hslo_wta(acost_r, -1)

@@ -545,3 +545,25 @@ def test_fast_exp_cost_parity(rng):
         _np(a), _np(jnp.rint(ra * 127).astype(jnp.bfloat16)))
     np.testing.assert_array_equal(
         _np(b), _np(jnp.rint(rb * 127).astype(jnp.bfloat16)))
+
+
+def test_hslo_wta_kern_matches_scan(rng):
+    """Fused Pallas DP+WTA kernel vs the lax.scan twin (dc_hslo_hwd +
+    argmin): identical disparities on integer-valued volumes, both eye
+    conventions."""
+    from stereo_to_multiview_tpu.ops.hslo import dc_hslo_hwd
+    from stereo_to_multiview_tpu.ops.hslokern import dc_hslo_wta_kern
+    # w = 203 exercises the zero-pad neutrality of the scan axis
+    h, w, d, zd = 24, 203, 16, 8
+    vol = jnp.asarray(np.round(rng.random((h, w, d)).astype(np.float32)
+                               * 500))
+    gl = jnp.asarray(rng.integers(0, 256, (h, w)).astype(np.uint8))
+    gr = jnp.asarray(rng.integers(0, 256, (h, w)).astype(np.uint8))
+    for sign, ga, gb in ((+1, gl, gr), (-1, gr, gl)):
+        ref = dc_hslo_hwd(vol, gl, gr, d, zd, 15.0, 2.0, 6.0, sign=sign)
+        ref_d = (jnp.argmin(ref, axis=2) - zd).astype(jnp.float32)
+        out = dc_hslo_wta_kern(jnp.swapaxes(vol, 0, 1), ga, gb, d, zd,
+                               15.0, 2.0, 6.0, sign=sign, interpret=True)
+        # identical f32 recurrence; ties can differ between the scan's
+        # argmin and the kernel's only through FMA association, bounded
+        assert np.mean(_np(ref_d) != _np(out)) < 1e-3
