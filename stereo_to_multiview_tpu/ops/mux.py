@@ -140,6 +140,16 @@ def _mux_interlace(views, num_rows_out, num_cols_out, y_mod, inv_y, ty):
     # chained ops); the remaining V-factor vs the reference's
     # one-gather-per-subpixel (d_mux_multiview.cu:57-82) is the price of
     # a gather-free formulation and applies to no BASELINE config.
+    #
+    # A sparse "resample only the selected subpixels" factorization was
+    # analyzed and is blocked for matmul resampling: the selected view
+    # varies with the output ROW class (mod round(y_interval)) while the
+    # column lattices of a view vary with that same class, so neither
+    # contraction order can share work across classes -- column-first
+    # needs V full column resamples (the current form), row-first needs
+    # y_interval full row resamples.  Restoring O(1)/subpixel requires a
+    # per-subpixel 2x2 gather, which TPUs price far above the V-factor
+    # matmuls at these sizes.
     identity = (views.shape[1], views.shape[2]) == (num_rows_out,
                                                     num_cols_out)
     if identity:
