@@ -39,6 +39,11 @@ def build_parser():
                    help="treat frames as alternating L/R single images")
     p.add_argument("--frames", type=int, default=None, help="stop after N")
     p.add_argument("--no-loop", action="store_true")
+    p.add_argument("--preview", type=int, default=None, metavar="PORT",
+                   help="serve a live browser preview (interlaced + "
+                        "disparity) at http://host:PORT/ -- the analog "
+                        "of the reference's HighGUI display loop with "
+                        "pause/resume (video_io.cpp:167-221)")
     p.add_argument("--lowres", type=str, default=None, metavar="RxC:SCALE",
                    help="adcensus_stm_2 mode, e.g. 192x320:1.0")
     p.add_argument("--cpu", action="store_true")
@@ -109,15 +114,35 @@ def main(argv=None):
         irv_thresh_h=args.thresh_h, num_views=args.nviews,
         angle=args.angle, **kw)
 
-    on_frame = None
+    callbacks = []
     if args.out_dir:
         os.makedirs(args.out_dir, exist_ok=True)
 
-        def on_frame(i, dl, dr, il):
+        def dump_frame(i, dl, dr, il):
             write_png(os.path.join(args.out_dir, f"disp_l_{i:04d}.png"),
                       normalize_for_display(np.asarray(dl)))
             write_png(os.path.join(args.out_dir, f"interlaced_{i:04d}.png"),
                       np.asarray(il))
+        callbacks.append(dump_frame)
+
+    if args.preview is not None:
+        import time
+        from stereo_to_multiview_tpu.utils.preview import PreviewServer
+        pv = PreviewServer(args.preview)
+        print(f"live preview: http://0.0.0.0:{pv.port}/")
+
+        def preview_frame(i, dl, dr, il):
+            pv.update(interlaced=np.asarray(il),
+                      disp_l=normalize_for_display(np.asarray(dl)))
+            while pv.paused:            # reference 'p' key behavior
+                time.sleep(0.1)
+        callbacks.append(preview_frame)
+
+    on_frame = None
+    if callbacks:
+        def on_frame(i, dl, dr, il):
+            for cb in callbacks:
+                cb(i, dl, dr, il)
 
     stats = stream(src, cfg, lowres=lowres, on_frame=on_frame)
     print(f"\nsteady-state: {stats}")

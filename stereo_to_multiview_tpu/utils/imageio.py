@@ -15,11 +15,13 @@ import numpy as np
 from stereo_to_multiview_tpu.utils.bmp import read_bmp, write_bmp
 
 
-def write_png(path: str, img: np.ndarray) -> None:
-    """Write (H, W), (H, W, 1) grayscale or (H, W, 3) BGR uint8 as PNG."""
+def png_bytes(img: np.ndarray, level: int = 6) -> bytes:
+    """Encode (H, W), (H, W, 1) grayscale or (H, W, 3) BGR uint8 as PNG
+    bytes (dependency-free; `level` trades size for speed -- the live
+    preview uses 1)."""
     img = np.asarray(img)
     if img.dtype != np.uint8:
-        raise ValueError("write_png expects uint8 (normalize first)")
+        raise ValueError("png_bytes expects uint8 (normalize first)")
     if img.ndim == 3 and img.shape[2] == 1:
         img = img[:, :, 0]
     if img.ndim == 2:
@@ -37,12 +39,15 @@ def write_png(path: str, img: np.ndarray) -> None:
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     lines = np.concatenate(
         [np.zeros((h, 1), np.uint8), raw.reshape(h, -1)], axis=1)
-    idat = zlib.compress(lines.tobytes(), 6)
+    idat = zlib.compress(lines.tobytes(), level)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+
+
+def write_png(path: str, img: np.ndarray) -> None:
+    """Write (H, W), (H, W, 1) grayscale or (H, W, 3) BGR uint8 as PNG."""
     with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(chunk(b"IHDR", ihdr))
-        f.write(chunk(b"IDAT", idat))
-        f.write(chunk(b"IEND", b""))
+        f.write(png_bytes(img))
 
 
 def read_image(path: str) -> np.ndarray:

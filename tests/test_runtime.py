@@ -217,3 +217,32 @@ def test_ffmpeg_pipe_source(tmp_path):
     import pytest
     with pytest.raises(FileNotFoundError):
         FFmpegSource(clip, ffmpeg="definitely-not-ffmpeg-xyz")
+
+
+def test_preview_server():
+    """Live-preview HTTP server (the HighGUI display-loop analog):
+    publishes frames, serves PNG snapshots and the index page, and the
+    pause/resume endpoints toggle the driver-pollable flag."""
+    import urllib.request
+    import numpy as np
+    from stereo_to_multiview_tpu.utils.preview import PreviewServer
+    from stereo_to_multiview_tpu.utils.imageio import png_bytes
+
+    pv = PreviewServer(port=0, host="127.0.0.1")
+    try:
+        img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+        pv.update(interlaced=img, skipped=None)
+        base = f"http://127.0.0.1:{pv.port}"
+        got = urllib.request.urlopen(f"{base}/frame/interlaced").read()
+        assert got == png_bytes(img, level=1)
+        page = urllib.request.urlopen(base).read().decode()
+        assert "interlaced" in page and "frame 1" in page
+        urllib.request.urlopen(f"{base}/pause").read()
+        assert pv.paused
+        urllib.request.urlopen(f"{base}/resume").read()
+        assert not pv.paused
+        import urllib.error
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(f"{base}/frame/nope")
+    finally:
+        pv.close()
