@@ -78,9 +78,12 @@ def main(argv=None):
         src = Y4MSource(path, loop=not args.no_loop,
                         max_frames=args.frames)
         h, w_sbs = src.h, src.w
-    elif os.path.isfile(path):
-        # any other container: ffmpeg yuv4mpegpipe subprocess -> Y4M
-        # parser (needs the ffmpeg binary; no Python dependency)
+    elif os.path.splitext(path)[1].lower() in (
+            ".mp4", ".mkv", ".webm", ".mov", ".avi", ".m4v", ".mpg",
+            ".mpeg", ".ts") and os.path.isfile(path):
+        # video containers: ffmpeg yuv4mpegpipe subprocess -> Y4M parser
+        # (needs the ffmpeg binary; no Python dependency).  Image files
+        # keep falling through to FrameSource for exact decoding.
         from stereo_to_multiview_tpu.models.stream import FFmpegSource
         src = FFmpegSource(path, loop=not args.no_loop,
                            max_frames=args.frames)

@@ -149,19 +149,25 @@ class FFmpegSource:
 
     def __iter__(self) -> Iterator[np.ndarray]:
         n = 0
-        while True:
-            fr = self._reader.read_frame()
-            if fr is None:
-                if not self.loop or n == 0:
-                    self._close_proc()
+        try:
+            while True:
+                fr = self._reader.read_frame()
+                if fr is None:
+                    if not self.loop or n == 0:
+                        return
+                    self._reader = self._spawn()
+                    continue
+                yield fr
+                n += 1
+                if self.max_frames is not None and n >= self.max_frames:
                     return
-                self._reader = self._spawn()
-                continue
-            yield fr
-            n += 1
-            if self.max_frames is not None and n >= self.max_frames:
-                self._close_proc()
-                return
+        finally:
+            # consumers may abandon the iterator early (stream() abort,
+            # break): always reap the ffmpeg child
+            self._close_proc()
+
+    def close(self) -> None:
+        self._close_proc()
 
 
 def native_source(path: str, pair_mode: bool = False, loops: int = 1,
@@ -242,9 +248,8 @@ def stream(source, cfg: PipelineConfig, lowres: bool = False,
     for i, sbs in enumerate(src):
         try:
             out = fn(jax.device_put(sbs), cfg)
-            if on_frame is None:
-                # force completion for honest per-frame timing
-                np.asarray(out[2])
+            # force completion for honest per-frame timing
+            np.asarray(out[2])
         except Exception as e:  # noqa: BLE001 -- stream must survive a frame
             failures += 1
             print(f"[[ frame {i} FAILED: {type(e).__name__}: {e} ]]")
@@ -252,13 +257,15 @@ def stream(source, cfg: PipelineConfig, lowres: bool = False,
                 raise
             continue
         failures = 0
-        if on_frame is not None:
-            # outside the failure policy: a consumer bug is the caller's
-            # error and must propagate, not count as a bad frame
-            on_frame(i, *out)
+        # tick BEFORE the consumer callback: fps measures device
+        # throughput, not PNG dumps or a preview user's pause time
         meter.tick()
         if verbose:
             ts = meter.times
             if ts:
                 print(f"[[ frame {i} took: {ts[-1]*1e3:.1f} ms ]]")
+        if on_frame is not None:
+            # outside the failure policy: a consumer bug is the caller's
+            # error and must propagate, not count as a bad frame
+            on_frame(i, *out)
     return meter.stats()

@@ -556,14 +556,17 @@ def band_aggregate_q(cost_q: jnp.ndarray, arms: jnp.ndarray, max_arm: int,
         # fused HSLO kernel's native orientation); falls back to an XLA
         # swap when D is not 128-aligned
         if final_out_t and out_t:
-            # int16 output: pass-4 values stay below 2^15 (the rescale
-            # invariants), and the HSLO kernel converts on load
+            # int32 output: the rescale shifts bound each pass's INPUT
+            # below 2^15, but pass-4's OUTPUT is input * window (up to
+            # ~1.4M at usd=34 -- measured 284k on the fish fixture, so
+            # int16 would wrap); int32 keeps the volume exact and half
+            # the size of f32
             return _band_pass_h(a, arms[LEFT], arms[RIGHT], mode="int",
                                 terms=digits, out_t=True,
-                                out_dtype=jnp.int16, **kw)
+                                out_dtype=jnp.int32, **kw)
         vol = _band_pass_h(a, arms[LEFT], arms[RIGHT], mode="int",
                            terms=digits,
-                           out_dtype=jnp.int16 if final_out_t
+                           out_dtype=jnp.int32 if final_out_t
                            else jnp.float32, **kw)
         return jnp.swapaxes(vol, 0, 1) if final_out_t else vol
     return _band_pass_h(a, arms[LEFT], arms[RIGHT], mode="int",

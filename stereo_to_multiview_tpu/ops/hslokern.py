@@ -33,8 +33,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 F32 = jnp.float32
-_ROWS = 32   # image rows per grid step: the DP's per-column carry chain
-             # is serial (latency-bound), so wider blocks amortize it
+_ROWS = 16   # image rows per grid step: the DP's per-column carry chain
+             # is serial (latency-bound), so wider blocks amortize it --
+             # but the volume block is int32 (pass-4 aggregates exceed
+             # int16) and 32-row i32 blocks overflow the VMEM budget
 _GRP = 8     # columns per aligned output store group
 BIG = 1e30
 

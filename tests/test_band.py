@@ -567,3 +567,26 @@ def test_hslo_wta_kern_matches_scan(rng):
         # identical f32 recurrence; ties can differ between the scan's
         # argmin and the kernel's only through FMA association, bounded
         assert np.mean(_np(ref_d) != _np(out)) < 1e-3
+
+
+def test_band_aggregate_final_out_t_large_values():
+    """final_out_t (the HSLO kernel's W-major volume) must carry the
+    FULL pass-4 aggregate: at usd=34 the output reaches ~1.4M (the
+    rescale shifts only bound each pass's INPUT below 2^15), so an
+    int16 volume wraps -- regression for the r4 review finding.
+    Worst case: maximal quantized costs with full-length arms."""
+    from stereo_to_multiview_tpu.ops.band import band_aggregate_q
+    h, w, d, usd = 80, 208, 16, 34
+    vol = jnp.full((h, w, d), 254, jnp.bfloat16)
+    x = np.arange(w)[None, :].repeat(h, 0)
+    y = np.arange(h)[:, None].repeat(w, 1)
+    arms = jnp.asarray(np.stack([
+        np.minimum(usd, y), np.minimum(usd, h - 1 - y),
+        np.minimum(usd, x), np.minimum(usd, w - x),
+    ]).astype(np.int32))
+    ref = band_aggregate_q(vol, arms, usd, interpret=True)        # f32
+    out = band_aggregate_q(vol, arms, usd, interpret=True,
+                           final_out_t=True)                      # W-major
+    assert float(jnp.max(ref)) > 32767, "fixture must exceed int16"
+    np.testing.assert_array_equal(
+        _np(ref), _np(jnp.swapaxes(out, 0, 1).astype(jnp.float32)))
