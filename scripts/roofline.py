@@ -147,7 +147,6 @@ def stage_model(H, W, D, V, usd, lsd, r_bil, r_feather, irv_rounds):
     # warp: per direction sum_v bound widths = D * sum(shifts); per
     # (pixel, k, view-in-range): ~7 select ops; window builds ~6 ops per
     # (k, channel) amortized over the 128-lane tile.
-    import numpy as np
     shifts = [1.0 - v / (V - 1.0) for v in range(1, V - 1)]
     sumw = D * (sum(shifts) + sum(1 - s for s in shifts))
     union = D * 2 + 4
