@@ -1074,16 +1074,18 @@ def dr_irv_band_chunked(disp_l, outl_l, disp_r, outl_r, arms_l, arms_r,
     chunk = getattr(cfg, "irv_row_chunk", 0) or h
     ext, bounds = _chunk_bounds(h, chunk, usd)
 
-    def one_round(dl, ol, dr_, orr):
+    def one_round(dl, ol, dr_, orr, nd_l, nd_r):
         parts = []
         for start, lo in bounds:
             sl = slice(start, start + ext)
             disp = jnp.concatenate([dl[sl], dr_[sl]], axis=0)
             outl = jnp.concatenate([ol[sl], orr[sl]], axis=0)
             arms = jnp.concatenate([arms_l[:, sl], arms_r[:, sl]], axis=1)
+            nmask = jnp.concatenate([nd_l[sl], nd_r[sl]], axis=0)
             nd, no = irv_round_kern(disp, outl, arms, cfg.irv_thresh_s,
                                     cfg.irv_thresh_h, cfg.num_disp,
-                                    cfg.zero_disp, usd, interpret)
+                                    cfg.zero_disp, usd, interpret,
+                                    need=nmask)
             n_valid = min(chunk, h - (start + lo))
             v = slice(lo, lo + n_valid)
             vr = slice(ext + lo, ext + lo + n_valid)
@@ -1093,19 +1095,52 @@ def dr_irv_band_chunked(disp_l, outl_l, disp_r, outl_r, arms_l, arms_r,
         return tuple(jnp.concatenate([p[i] for p in parts], axis=0)
                      for i in range(4))
 
+    def _dilate_cheb(mask):
+        """Block-granular Chebyshev-usd dilation of a change mask (an
+        over-approximation: extra flagged pixels only cost re-votes that
+        reproduce their previous outcome)."""
+        g = 8
+        r = -(-usd // g) + 1
+        hp2 = -(-mask.shape[0] // g) * g
+        wp2 = -(-mask.shape[1] // g) * g
+        m = jnp.pad(mask, ((0, hp2 - mask.shape[0]),
+                           (0, wp2 - mask.shape[1])))
+        blk = m.reshape(hp2 // g, g, wp2 // g, g).any(axis=(1, 3))
+        for axis in (0, 1):
+            d = blk
+            for k in range(1, r + 1):
+                lo_p = [(0, 0), (0, 0)]
+                hi_p = [(0, 0), (0, 0)]
+                lo_p[axis] = (0, k)
+                hi_p[axis] = (k, 0)
+                d = d | jnp.pad(
+                    jax.lax.slice_in_dim(blk, k, blk.shape[axis], axis=axis),
+                    lo_p) | jnp.pad(
+                    jax.lax.slice_in_dim(blk, 0, blk.shape[axis] - k,
+                                         axis=axis), hi_p)
+            blk = d
+        full = jnp.repeat(jnp.repeat(blk, g, axis=0), g, axis=1)
+        return full[:mask.shape[0], :mask.shape[1]]
+
     def cond(state):
-        _, _, _, _, it, changed = state
+        it, changed = state[4], state[5]
         return jnp.logical_and(it < cfg.irv_iterations, changed)
 
     def body(state):
-        dl, ol, dr_, orr, it, _ = state
-        ndl, nol, ndr, norr = one_round(dl, ol, dr_, orr)
-        changed = jnp.logical_or(jnp.any(nol != ol), jnp.any(norr != orr))
-        return (ndl, nol, ndr, norr, it + 1, changed)
+        dl, ol, dr_, orr, it, _, nd_l, nd_r = state
+        ndl, nol, ndr, norr = one_round(dl, ol, dr_, orr, nd_l, nd_r)
+        ch_l = nol != ol
+        ch_r = norr != orr
+        changed = jnp.logical_or(jnp.any(ch_l), jnp.any(ch_r))
+        # next round's frontier: a vote outcome can change only within
+        # cross reach (Chebyshev usd) of a pixel that changed this round
+        return (ndl, nol, ndr, norr, it + 1, changed,
+                _dilate_cheb(ch_l), _dilate_cheb(ch_r))
 
+    all_true = jnp.ones(disp_l.shape, jnp.bool_)
     state = (disp_l, outl_l, disp_r, outl_r, jnp.int32(0),
-             jnp.bool_(True))
-    dl, ol, dr_, orr, _, _ = jax.lax.while_loop(cond, body, state)
+             jnp.bool_(True), all_true, all_true)
+    dl, ol, dr_, orr = jax.lax.while_loop(cond, body, state)[:4]
     return (dl, ol), (dr_, orr)
 
 

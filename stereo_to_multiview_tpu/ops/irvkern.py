@@ -169,10 +169,20 @@ def _vote_kernel(vflags_ref, rs_ref, au_ref, ad_ref,
 def irv_round_kern(disp: jnp.ndarray, outliers: jnp.ndarray,
                    arms: jnp.ndarray, thresh_s: int, thresh_h: float,
                    num_disp: int, zero_disp: int, usd: int,
-                   interpret: bool = False):
+                   interpret: bool = False, need: jnp.ndarray = None):
     """One synchronous IRV voting round.  Bit-identical to
     ops.irv.dr_irv with iterations=1 (same vote rule, dr_irv_kernel_3:36;
-    U arm clamped to usd like the reference pre-kernel)."""
+    U arm clamped to usd like the reference pre-kernel).
+
+    `need` (bool (H, W), default = every outlier): the pixels whose vote
+    must be (re)evaluated this round; everything else keeps its
+    outlier/disparity state untouched.  A pixel's vote outcome can only
+    change when a reliable pixel inside its cross region (a Chebyshev
+    ball of radius usd) changed since its last evaluation, so the round
+    loop passes the dilated change frontier -- exact, and on real
+    content rounds after the first collapse to near the DMA floor
+    (measured: one dense round costs ~12 ms at 1080p with 0.02%%
+    outliers; the flags, not the outlier count, set the cost)."""
     from stereo_to_multiview_tpu.ops.cross import UP, DOWN, LEFT, RIGHT
     if usd > _LANE // 2:
         raise ValueError("usd must be <= 64 (256-wide kernel windows)")
@@ -197,9 +207,13 @@ def irv_round_kern(disp: jnp.ndarray, outliers: jnp.ndarray,
     au = pad_hw(jnp.minimum(arms[UP], usd).astype(jnp.int32), 0)
     ad_ = pad_hw(arms[DOWN].astype(jnp.int32), 0)
 
-    # --- per-block outlier flags (pads are non-outliers: their votes are
+    # --- per-block vote flags (pads are non-outliers: their votes are
     # discarded, so blocks they alone touch can skip) ---
-    need = jnp.pad(outliers != 0, ((0, hp - h), (0, wp - w)))
+    if need is None:
+        need = outliers != 0
+    else:
+        need = need & (outliers != 0)
+    need = jnp.pad(need, ((0, hp - h), (0, wp - w)))
     n_yb, n_xt = hp // _ROWS, wp // _XTILE
     n_xb, n_hseg = wp // _VROWS, hp // _LANE
     m2 = need.reshape(n_hseg, _LANE, n_xb, _VROWS).any(axis=(1, 3)).T

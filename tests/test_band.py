@@ -240,6 +240,27 @@ def test_chunked_core_matches_unchunked(stereo_pair):
         np.testing.assert_array_equal(_np(a[0]), _np(b[0]))
         np.testing.assert_array_equal(_np(a[1]), _np(b[1]))
 
+    # sparse outliers over many rounds: the chunked loop's
+    # change-frontier flags (need masks) must reproduce the dense
+    # fixed-iteration reference exactly, including accept chains where
+    # a round-k fill enables a round-k+1 fill next door
+    outl2 = np.zeros((h, w), np.uint8)
+    outl2[h // 2, 4:min(w, 60)] = 1          # a row run that fills inward
+    outl2[2, 2] = 1
+    outr2 = np.zeros((h, w), np.uint8)
+    outr2[h // 3, 10:min(w, 40)] = 1
+    cfg4 = cfg_chunk.replace(irv_iterations=4, irv_thresh_s=2,
+                             irv_thresh_h=0.1)
+    ref = dr_irv_band_lr(dwl, jnp.asarray(outl2), dwr, jnp.asarray(outr2),
+                         arms_l, arms_r, 2, 0.1, 12, 6, 5, 4,
+                         interpret=True)
+    got = dr_irv_band_chunked(dwl, jnp.asarray(outl2), dwr,
+                              jnp.asarray(outr2), arms_l, arms_r, cfg4,
+                              interpret=True)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(_np(a[0]), _np(b[0]))
+        np.testing.assert_array_equal(_np(a[1]), _np(b[1]))
+
 
 def test_band_aggregate_dm_matches_lane_major(rng):
     """Disparity-major aggregation (band_aggregate_q_dm) + the stacked-eyes
