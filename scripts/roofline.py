@@ -174,9 +174,9 @@ MEASURED_R4 = {
     "agg+wta": 33.0,       # band_aggregate_q both eyes, volumes as args
                            # (9.4 + 33.0 reconciles the 43.0 ms core)
     "dcc": 2.8,
-    "irv": 17.4,           # measured by full-graph ablation (irv=5 vs
-                           # irv=0: 75.1 - 57.7 ms); ~2.5 effective
-                           # rounds on the bench input
+    "irv": 15.1,           # full-graph ablation (irv=5 vs irv=0) with
+                           # the change-frontier round flags; round 1 is
+                           # dense (~12 ms, rowspan-volume DMA bound)
     "bilateral": 4.4,
     "occl": 2.0,
     "bleed+mask": 2.1,

@@ -1108,7 +1108,9 @@ def dr_irv_band_chunked(disp_l, outl_l, disp_r, outl_r, arms_l, arms_r,
         blk = m.reshape(hp2 // g, g, wp2 // g, g).any(axis=(1, 3))
         for axis in (0, 1):
             d = blk
-            for k in range(1, r + 1):
+            # a shift of blocks-1 already reaches the whole extent;
+            # larger radii would make slice_in_dim raise
+            for k in range(1, min(r, blk.shape[axis] - 1) + 1):
                 lo_p = [(0, 0), (0, 0)]
                 hi_p = [(0, 0), (0, 0)]
                 lo_p[axis] = (0, k)

@@ -213,6 +213,7 @@ def irv_round_kern(disp: jnp.ndarray, outliers: jnp.ndarray,
         need = outliers != 0
     else:
         need = need & (outliers != 0)
+    need_px = need                     # unpadded: gates the accept below
     need = jnp.pad(need, ((0, hp - h), (0, wp - w)))
     n_yb, n_xt = hp // _ROWS, wp // _XTILE
     n_xb, n_hseg = wp // _VROWS, hp // _LANE
@@ -294,7 +295,13 @@ def irv_round_kern(disp: jnp.ndarray, outliers: jnp.ndarray,
     max_d = jnp.where(max_bin > 0, winner - zero_disp, dint)
     ratio = ((max_d + zero_disp).astype(F32)
              / jnp.maximum(total, 1).astype(F32))
-    accept = ((outliers != 0) & (total > thresh_s)
+    # accept ONLY need pixels: the rowspan flags guarantee full span
+    # windows exactly for need's dilation, so a non-need outlier sharing
+    # a flagged 128-row vote segment may see partially-zeroed windows
+    # (smaller total RAISES the reference's ratio quirk) -- masking keeps
+    # its state untouched, which the frontier invariant says is its true
+    # outcome (caught by the r4 second review pass)
+    accept = (need_px & (total > thresh_s)
               & (ratio > F32(thresh_h)))
     new_disp = jnp.where(accept, max_d.astype(F32), disp)
     new_out = jnp.where(accept, jnp.uint8(0), outliers)

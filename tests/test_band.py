@@ -611,3 +611,42 @@ def test_band_aggregate_final_out_t_large_values():
     assert float(jnp.max(ref)) > 32767, "fixture must exceed int16"
     np.testing.assert_array_equal(
         _np(ref), _np(jnp.swapaxes(out, 0, 1).astype(jnp.float32)))
+
+
+def test_irv_round_need_mask_exact(rng):
+    """Frontier `need` masks must be state-preserving for non-need
+    pixels: an outlier sharing a flagged 128-row vote segment with a
+    need pixel but sitting outside the rowspan flags' dilation would
+    otherwise read partially-zeroed span windows, whose SMALLER total
+    raises the reference's accept ratio and can spuriously accept it
+    (r4 second-review finding).  Need pixels must match the full-need
+    round exactly; non-need pixels must be untouched."""
+    from stereo_to_multiview_tpu.ops.irvkern import irv_round_kern
+    h, w, nd, zd, usd = 256, 64, 12, 6, 5
+    disp = jnp.asarray(
+        rng.integers(-zd, nd - zd, (h, w)).astype(np.float32))
+    outl = np.zeros((h, w), np.uint8)
+    outl[8, 10] = 1          # the need pixel (changed region nearby)
+    outl[120, 10] = 1        # same 128-row vote segment, far from need
+    outl[200, 30] = 1        # different segment entirely
+    outl_j = jnp.asarray(outl)
+    arms = jnp.asarray(np.stack([
+        np.minimum(usd, np.arange(h))[:, None].repeat(w, 1),
+        np.minimum(usd, h - 1 - np.arange(h))[:, None].repeat(w, 1),
+        np.minimum(usd, np.arange(w))[None, :].repeat(h, 0),
+        np.minimum(usd, w - np.arange(w))[None, :].repeat(h, 0),
+    ]).astype(np.int32))
+
+    full_d, full_o = irv_round_kern(disp, outl_j, arms, 2, 0.1, nd, zd,
+                                    usd, interpret=True)
+    need = np.zeros((h, w), bool)
+    need[:32, :] = True      # frontier covers only the first pixel
+    part_d, part_o = irv_round_kern(disp, outl_j, arms, 2, 0.1, nd, zd,
+                                    usd, interpret=True,
+                                    need=jnp.asarray(need))
+    # need region: identical to the full round
+    np.testing.assert_array_equal(_np(full_d)[:32], _np(part_d)[:32])
+    np.testing.assert_array_equal(_np(full_o)[:32], _np(part_o)[:32])
+    # outside need: state untouched, no spurious accepts
+    np.testing.assert_array_equal(_np(part_d)[32:], _np(disp)[32:])
+    np.testing.assert_array_equal(_np(part_o)[32:], outl[32:])
