@@ -44,6 +44,10 @@ def build_parser():
                         "disparity) at http://host:PORT/ -- the analog "
                         "of the reference's HighGUI display loop with "
                         "pause/resume (video_io.cpp:167-221)")
+    p.add_argument("--preview-host", default="127.0.0.1",
+                   help="preview bind address (default loopback; pass "
+                        "0.0.0.0 to expose it -- /pause is "
+                        "unauthenticated and stalls the stream)")
     p.add_argument("--lowres", type=str, default=None, metavar="RxC:SCALE",
                    help="adcensus_stm_2 mode, e.g. 192x320:1.0")
     p.add_argument("--cpu", action="store_true")
@@ -131,8 +135,8 @@ def main(argv=None):
     if args.preview is not None:
         import time
         from stereo_to_multiview_tpu.utils.preview import PreviewServer
-        pv = PreviewServer(args.preview)
-        print(f"live preview: http://0.0.0.0:{pv.port}/")
+        pv = PreviewServer(args.preview, host=args.preview_host)
+        print(f"live preview: http://{args.preview_host}:{pv.port}/")
 
         def preview_frame(i, dl, dr, il):
             pv.update(interlaced=np.asarray(il),

@@ -125,6 +125,49 @@ def phase_fidelity():
     print(f"interlaced: frac(|diff|>8) = {frac:.4f}", flush=True)
 
 
+def phase_tierule():
+    """Tie-rule regression guard (VERDICT r4 weak-6): Mosaic's native
+    argmin reduce is deterministic per backend but its tie index is NOT
+    guaranteed lowest-first (the reference's rule, d_dc_wta.cu:24-34;
+    documented trade in ops/band.py _res_kernel).  This phase feeds the
+    fused-WTA aggregation a FLAT cost volume -- every disparity ties at
+    every pixel -- and compares the chosen indices against a pinned
+    snapshot (scripts/tie_rule_snapshot.npy).  A toolchain update that
+    changes the tie choice fails loudly here instead of silently shifting
+    content fidelity.  First run (no snapshot) writes it."""
+    import os
+    jax = _setup()
+    import jax.numpy as jnp
+    from stereo_to_multiview_tpu.ops.band import band_aggregate_q
+
+    h, w, d, usd = 16, 256, 128, 8
+    cost = jnp.full((h, w, d), 100, jnp.bfloat16)
+    y = np.arange(h)[:, None] + np.zeros((1, w), np.int32)
+    x = np.arange(w)[None, :] + np.zeros((h, 1), np.int32)
+    arms = np.stack([np.minimum(usd, y), np.minimum(usd, h - 1 - y),
+                     np.minimum(usd, x), np.minimum(usd, w - x)]
+                    ).astype(np.int32)
+    disp = np.asarray(band_aggregate_q(cost, jnp.asarray(arms), usd,
+                                       zero_disp=d // 2))
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tie_rule_snapshot.npy")
+    if not os.path.exists(path):
+        np.save(path, disp)
+        print(f"tie-rule snapshot written: {path}", flush=True)
+        return
+    ref = np.load(path)
+    if np.array_equal(ref, disp):
+        print("tie rule unchanged (flat-cost argmin indices match the "
+              "pinned snapshot)", flush=True)
+    else:
+        n = int(np.sum(ref != disp))
+        print(f"TIE RULE CHANGED: {n}/{disp.size} flat-cost argmin "
+              f"indices differ from the snapshot -- the Mosaic toolchain's "
+              f"native-reduce tie choice moved; re-run scripts/fidelity.py "
+              f"and re-pin if acceptable", flush=True)
+        sys.exit(1)
+
+
 def make_fidelity_golden():
     """Run on CPU first: writes /tmp/fidelity_cpu.npz."""
     import jax
@@ -143,11 +186,12 @@ def make_fidelity_golden():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("phase", choices=["band", "fish", "hd", "hd4k",
-                                      "fidelity",
+                                      "fidelity", "tierule",
                                       "golden"])
     args = ap.parse_args()
     {"band": phase_band, "fish": phase_fish, "hd": phase_hd,
      "hd4k": phase_hd4k, "fidelity": phase_fidelity,
+     "tierule": phase_tierule,
      "golden": make_fidelity_golden}[args.phase]()
 
 

@@ -92,6 +92,11 @@ class PipelineConfig:
                                  # the size of a cost volume)
 
     # --- optional stages ---
+    use_median: bool = False     # 3x3 median on both refined disparity maps
+                                 # between IRV and the bilateral filter --
+                                 # the reference keeps filter_median callable
+                                 # there but commented out on the live path
+                                 # (image_io.cpp:239-240, d_filter.cu:7-45)
     use_hslo: bool = False       # real scanline optimization (reference stub
                                  # d_dc_hslo.cu is inert; off preserves parity)
     hslo_T: float = 15.0         # color-gradient threshold for penalties

@@ -154,6 +154,13 @@ def compute_disparities(img_l: jnp.ndarray, img_r: jnp.ndarray,
                                        cfg.num_disp, cfg.zero_disp,
                                        cfg.usd, cfg.irv_iterations)
 
+    if cfg.use_median:
+        # reference call site: between IRV and the bilateral filter
+        # (image_io.cpp:239-240, commented on the live path)
+        with stage_scope("filter_median"):
+            disp_l = ops.filter_median(disp_l)
+            disp_r = ops.filter_median(disp_r)
+
     with stage_scope("filter_bilateral"):
         if band and cfg.bilateral_radius <= 8:
             # one kernel for both eyes (edge-replicated seam spacer)
@@ -239,13 +246,10 @@ def synthesize_views(img_l, img_r, disp_l, disp_r, cfg: PipelineConfig):
     v = cfg.num_views
     mids = []
     with stage_scope("dibr_dbm"):
-        import numpy as np
         # f32 arithmetic like the reference's float expression
         # (d_io.cu:189) -- also keeps the traced-shift sharded
         # synthesizer bit-identical
-        shifts = tuple(float(np.float32(1.0)
-                             - np.float32(v_i) / np.float32(v - 1.0))
-                       for v_i in range(1, v - 1))
+        shifts = _synth_shifts(v)
         if band and shifts:
             # one x-major kernel for every intermediate view, with
             # data-adaptive per-view offset loops; the mask multiply and
@@ -280,6 +284,68 @@ def synthesize_views(img_l, img_r, disp_l, disp_r, cfg: PipelineConfig):
     return views
 
 
+def _synth_shifts(v: int):
+    """Intermediate-view fractions, f32 like the reference's expression
+    (d_io.cu:189)."""
+    import numpy as np
+    return tuple(float(np.float32(1.0)
+                       - np.float32(v_i) / np.float32(v - 1.0))
+                 for v_i in range(1, v - 1))
+
+
+def synthesize_interlace(img_l, img_r, disp_l, disp_r, cfg: PipelineConfig):
+    """views synthesis + lenticular interlace, fused.  On the band engine
+    at identity output resolution the whole chain runs in the warp
+    kernel's TRANSPOSED (W, H) domain -- occlusion hits, bleed masks and
+    the feather never relayout, the mask multiply and truncating merge
+    run inside the warp kernel (u8 outputs, ~16x less view traffic), and
+    the interlace selects transposed; ONE final u8 transpose restores the
+    natural orientation.  Values are bit-identical to
+    mux_multiview(synthesize_views(...)) (same op order everywhere; the
+    transposed feather preserves the natural accumulation order).
+    Falls back to the unfused pair otherwise."""
+    from stereo_to_multiview_tpu.utils.profiling import stage_scope
+
+    band = _use_band(cfg)
+    h, w = img_l.shape[:2]
+    v = cfg.num_views
+    fused = (band and v > 2 and cfg.bleed_radius == 1
+             and (cfg.num_rows_out, cfg.num_cols_out) == (h, w))
+    if not fused:
+        views = synthesize_views(img_l, img_r, disp_l, disp_r, cfg)
+        return ops.mux_multiview(views, cfg.num_rows_out,
+                                 cfg.num_cols_out, cfg.angle)
+
+    from stereo_to_multiview_tpu.ops.postkern import (
+        dcc_occl_kern, filter_bleed_mask_kern)
+    from stereo_to_multiview_tpu.ops.filters import filter_gaussian_lift_t
+    from stereo_to_multiview_tpu.ops.warpkern import (
+        dibr_warp_merge_views_kern_xm)
+    from stereo_to_multiview_tpu.ops.mux import mux_multiview_t
+    from stereo_to_multiview_tpu.ops.dibr import op_invertnormf
+
+    interpret = jax.default_backend() == "cpu" and not FORCE_MOSAIC
+    nd_s, zd_s = synth_disp_bounds(cfg)
+    with stage_scope("dibr_occl"):
+        occl_l_t, occl_r_t = dcc_occl_kern(
+            disp_l, disp_r, with_labels=False, num_disp=nd_s,
+            zero_disp=zd_s, transposed=True, interpret=interpret)
+        mask_l_t, mask_r_t = filter_bleed_mask_kern(
+            occl_l_t, occl_r_t, cfg.bleed_radius, interpret)
+    with stage_scope("dibr_feather"):
+        feathered_t = filter_gaussian_lift_t(
+            op_invertnormf(mask_r_t), cfg.feather_radius, cfg.feather_sigma)
+    with stage_scope("dibr_dbm"):
+        merged_t = dibr_warp_merge_views_kern_xm(
+            img_l, img_r, disp_l, disp_r, mask_l_t, mask_r_t, feathered_t,
+            _synth_shifts(v), nd_s, zd_s, interpret)      # (nv, W, H, 3) u8
+    with stage_scope("mux_multiview"):
+        views_t = jnp.concatenate(
+            [jnp.swapaxes(img_r, 0, 1)[None], merged_t,
+             jnp.swapaxes(img_l, 0, 1)[None]], axis=0)
+        return jnp.swapaxes(mux_multiview_t(views_t, cfg.angle), 0, 1)
+
+
 def make_process_frame(cfg: PipelineConfig, lowres: bool = False):
     """Build the jitted SBS -> (disp_l, disp_r, interlaced) function."""
 
@@ -299,9 +365,7 @@ def make_process_frame(cfg: PipelineConfig, lowres: bool = False):
         else:
             disp_l, disp_r, _, _ = compute_disparities(img_l, img_r, cfg)
 
-        views = synthesize_views(img_l, img_r, disp_l, disp_r, cfg)
-        interlaced = ops.mux_multiview(views, cfg.num_rows_out,
-                                       cfg.num_cols_out, cfg.angle)
+        interlaced = synthesize_interlace(img_l, img_r, disp_l, disp_r, cfg)
         return disp_l, disp_r, interlaced
 
     return jax.jit(fn)
@@ -313,9 +377,7 @@ def process_frame(sbs: jnp.ndarray, cfg: PipelineConfig) -> Tuple[jnp.ndarray, j
     interlaced).  cfg is static; one compiled graph per config."""
     img_l, img_r = ops.demux_sbs(sbs)
     disp_l, disp_r, _, _ = compute_disparities(img_l, img_r, cfg)
-    views = synthesize_views(img_l, img_r, disp_l, disp_r, cfg)
-    interlaced = ops.mux_multiview(views, cfg.num_rows_out, cfg.num_cols_out,
-                                   cfg.angle)
+    interlaced = synthesize_interlace(img_l, img_r, disp_l, disp_r, cfg)
     return disp_l, disp_r, interlaced
 
 
@@ -333,7 +395,5 @@ def process_frame_lowres(sbs: jnp.ndarray, cfg: PipelineConfig):
                                1.0 / cfg.disp_scale)
     disp_r = ops.tx_disp_scale(dr, cfg.num_rows, cfg.num_cols,
                                1.0 / cfg.disp_scale)
-    views = synthesize_views(img_l, img_r, disp_l, disp_r, cfg)
-    interlaced = ops.mux_multiview(views, cfg.num_rows_out, cfg.num_cols_out,
-                                   cfg.angle)
+    interlaced = synthesize_interlace(img_l, img_r, disp_l, disp_r, cfg)
     return disp_l, disp_r, interlaced

@@ -149,6 +149,10 @@ class FFmpegSource:
 
     def __iter__(self) -> Iterator[np.ndarray]:
         n = 0
+        if self._proc is None:
+            # a previous iteration reaped the child (finally below):
+            # respawn so the source is re-iterable (ADVICE r4)
+            self._reader = self._spawn()
         try:
             while True:
                 fr = self._reader.read_frame()
@@ -243,13 +247,15 @@ def stream(source, cfg: PipelineConfig, lowres: bool = False,
     meter = FrameMeter(warmup=2)
     src = PrefetchingSource(source, prefetch) if prefetch else source
 
+    import time as _time
     failures = 0
-    meter.tick()
     for i, sbs in enumerate(src):
         try:
+            t0 = _time.perf_counter()
             out = fn(jax.device_put(sbs), cfg)
             # force completion for honest per-frame timing
             np.asarray(out[2])
+            dt = _time.perf_counter() - t0
         except Exception as e:  # noqa: BLE001 -- stream must survive a frame
             failures += 1
             print(f"[[ frame {i} FAILED: {type(e).__name__}: {e} ]]")
@@ -257,9 +263,10 @@ def stream(source, cfg: PipelineConfig, lowres: bool = False,
                 raise
             continue
         failures = 0
-        # tick BEFORE the consumer callback: fps measures device
-        # throughput, not PNG dumps or a preview user's pause time
-        meter.tick()
+        # the frame time is measured directly around upload+compute+fetch
+        # (meter.add), so consumer-callback time (PNG dumps, a paused
+        # preview's wait) never pollutes fps/ms_max stats (ADVICE r4)
+        meter.add(dt)
         if verbose:
             ts = meter.times
             if ts:

@@ -56,6 +56,29 @@ def filter_gaussian_lift(img: jnp.ndarray, radius: int, sigma: float):
     return jnp.maximum(img.astype(F32), blurred)
 
 
+def filter_gaussian_lift_t(img_t: jnp.ndarray, radius: int, sigma: float):
+    """filter_gaussian_lift on a TRANSPOSED (W, H) plane, preserving the
+    natural-orientation accumulation order bit-exactly: the natural code
+    blurs the image's x axis first (axis 1), which is axis 0 here, then
+    y (axis 1 here).  filter_gaussian_lift_t(m.T) == filter_gaussian_lift(m).T
+    to the last f32 bit -- the transposed synthesis chain depends on it."""
+    k1 = np.exp(-(np.arange(-radius, radius + 1, dtype=np.float64) ** 2)
+                / (2.0 * float(sigma) ** 2))
+    k2d_sum = float(gaussian_kernel_2d(radius, sigma).astype(np.float64).sum())
+    scale = 1.0 / (2.0 * np.pi * float(sigma) ** 2)
+
+    p = _edge_pad(img_t.astype(F32), radius)
+    w, h = img_t.shape
+    acc_r = jnp.zeros((w, h + 2 * radius), F32)
+    for j, kv in enumerate(k1):                 # image-x pass (axis 0 here)
+        acc_r = acc_r + F32(kv) * p[j:j + w, :]
+    acc = jnp.zeros((w, h), F32)
+    for i, kv in enumerate(k1):                 # image-y pass (axis 1 here)
+        acc = acc + F32(kv) * acc_r[:, i:i + h]
+    blurred = acc * F32(scale / k2d_sum)
+    return jnp.maximum(img_t.astype(F32), blurred)
+
+
 def filter_bilateral(img: jnp.ndarray, radius: int, sigma_color: float,
                      sigma_spatial: float, num_disp: int) -> jnp.ndarray:
     """Edge-preserving smoothing of the float disparity map.

@@ -81,6 +81,33 @@ def mux_multiview(views: jnp.ndarray, num_rows_out: int, num_cols_out: int,
                           inv_y, ty)
 
 
+def mux_multiview_t(views_t: jnp.ndarray, angle: float) -> jnp.ndarray:
+    """Transposed-domain interlace for identity output resolution (the
+    fused band synthesis chain's layout): views_t (V, W, H, 3) uint8 ->
+    interlaced (W, H, 3) uint8, value-identical to
+    swapaxes(mux_multiview(swapaxes(views_t, 1, 2), H, W, angle), 0, 1).
+    The view-id pattern is pure static geometry (d_mux_multiview.cu:
+    38-84, :146) evaluated transposed; the select chain is elementwise,
+    so no resampling path is needed (identity resolution only)."""
+    import numpy as np
+    v_cnt, w_in, h_in = views_t.shape[:3]
+    y_interval = np.float32(v_cnt / math.tan(angle * math.pi / 180.0) / 3.0)
+    inv_y = np.float32(1.0) / y_interval
+    y_mod = max(int(math.floor(float(y_interval) + 0.5)), 1)  # C round()
+    ty = np.arange(h_in)
+    y_view = ((ty % y_mod).astype(np.float32) + np.float32(1.0)) \
+        * np.float32(v_cnt) * inv_y
+    tx = jnp.arange(w_in)
+    x_view = (tx[:, None] * 3
+              + jnp.asarray(y_view.astype(np.int32))[None, :]) % v_cnt
+    view_id = jnp.stack([(x_view + 2) % v_cnt, (x_view + 1) % v_cnt,
+                         x_view], axis=-1)            # (W, H, 3)
+    out = jnp.zeros((w_in, h_in, 3), jnp.uint8)
+    for v in range(v_cnt):
+        out = jnp.where(view_id == v, views_t[v], out)
+    return out
+
+
 def mux_multiview_rows(views: jnp.ndarray, angle: float,
                        row_offset) -> jnp.ndarray:
     """Row-shard variant of mux_multiview for the halo-sharded pipeline:

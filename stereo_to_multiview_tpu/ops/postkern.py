@@ -341,17 +341,21 @@ def _dcc_kernel_xm(dl0, dl1, dl2, dr0, dr1, dr2, out_l_ref, out_r_ref,
 
 @functools.partial(jax.jit, static_argnames=("thresh", "with_labels",
                                              "num_disp", "zero_disp",
-                                             "interpret"))
+                                             "transposed", "interpret"))
 def dcc_occl_kern(disp_l: jnp.ndarray, disp_r: jnp.ndarray,
                   thresh: float = 1.0, with_labels: bool = True,
                   num_disp: int | None = None,
                   zero_disp: int | None = None,
+                  transposed: bool = False,
                   interpret: bool = False):
     """with_labels=True: dr_dcc outlier labels (uint8 0/1/2) for both
     eyes.  False: dibr_occl visibility hits (uint8 0/1).
     num_disp/zero_disp bound the disparity reach (<= 128 columns); a
     tighter bound shrinks the value loop.  Runs x-major (_dcc_kernel_xm):
-    every d-offset window is a static sublane slice."""
+    every d-offset window is a static sublane slice.  transposed=True
+    returns the kernel's native (W, H) orientation (the transposed
+    synthesis chain consumes it directly, skipping two full-plane XLA
+    relayouts)."""
     h, w = disp_l.shape
     xt, yl = _DCCXT, _DCCYL
     if num_disp is None or zero_disp is None:
@@ -388,8 +392,12 @@ def dcc_occl_kern(disp_l: jnp.ndarray, disp_r: jnp.ndarray,
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(pl_l, pl_l, pl_l, pl_r, pl_r, pl_r)
-    out_l = out_l.T[:h, :w]
-    out_r = out_r.T[:h, :w]
+    if not transposed:
+        out_l = out_l.T[:h, :w]
+        out_r = out_r.T[:h, :w]
+    else:
+        out_l = out_l[:w, :h]
+        out_r = out_r[:w, :h]
 
     # Border-clamp patch: the reference clamps scatter targets into the
     # image (d_dr_dcc.cu:57-82), so writers with x + d < 0 (or > w-1)
@@ -406,16 +414,26 @@ def dcc_occl_kern(disp_l: jnp.ndarray, disp_r: jnp.ndarray,
     c_l0 = jnp.any(x_lo - dr_i[:, :k] < 0, axis=1)
     c_rw = jnp.any(x_hi + dl_i[:, w - k:] > w - 1, axis=1)
     c_lw = jnp.any(x_hi - dr_i[:, w - k:] > w - 1, axis=1)
+
+    def edges(x):
+        """(first, last) image-x lines of the label plane."""
+        return (x[:, 0], x[:, w - 1]) if not transposed else (x[0], x[w - 1])
+
+    def set_edges(x, e0, ew):
+        if not transposed:
+            return x.at[:, 0].set(e0).at[:, w - 1].set(ew)
+        return x.at[0].set(e0).at[w - 1].set(ew)
+
     if with_labels:
         def patch(lab, c0, cw):
-            col0 = jnp.where(c0 & (lab[:, 0] == 2), 1, lab[:, 0])
-            colw = jnp.where(cw & (lab[:, w - 1] == 2), 1, lab[:, w - 1])
-            return lab.at[:, 0].set(col0).at[:, w - 1].set(colw)
+            e0, ew = edges(lab)
+            return set_edges(lab, jnp.where(c0 & (e0 == 2), 1, e0),
+                             jnp.where(cw & (ew == 2), 1, ew))
     else:
         def patch(hit, c0, cw):
-            col0 = jnp.maximum(hit[:, 0], c0.astype(jnp.int32))
-            colw = jnp.maximum(hit[:, w - 1], cw.astype(jnp.int32))
-            return hit.at[:, 0].set(col0).at[:, w - 1].set(colw)
+            e0, ew = edges(hit)
+            return set_edges(hit, jnp.maximum(e0, c0.astype(jnp.int32)),
+                             jnp.maximum(ew, cw.astype(jnp.int32)))
     out_l = patch(out_l, c_l0, c_lw)
     out_r = patch(out_r, c_r0, c_rw)
     return out_l.astype(jnp.uint8), out_r.astype(jnp.uint8)

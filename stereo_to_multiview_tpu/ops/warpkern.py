@@ -337,6 +337,148 @@ def _warp_views_xm_kernel(*refs, shifts_l, shifts_r, w: int, nv: int):
                 out3[c][v] = jnp.floor(accs[c])
 
 
+def _warp_merge_views_xm_kernel(*refs, shifts_l, shifts_r, w: int, nv: int):
+    """_warp_views_xm_kernel with the mask multiply and the truncating
+    mux merge fused as an epilogue (d_mux_common.cu:43-45 semantics):
+
+        out[v] = u8((1-m) * u8(floor(warpL_v) * mask_r))
+               + u8(  m   * u8(floor(warpR_v) * mask_l))
+
+    with m = the feathered blend weight.  The inner u8 casts are
+    lossless (integral products <= 255), so they fold into the outer
+    expression; results are bit-identical to the unfused
+    dibr_warp_views_kern_xm + XLA mask/merge chain.  Outputs are the
+    merged u8 views -- 16x less HBM write traffic than the (nv, W, H)
+    f32 warp volumes the unfused path materializes and re-reads.
+
+    refs: disp_l, disp_r, mask_l, mask_r, feathered (XX, XY) center
+    blocks; 6 image planes x 3 consecutive x-blocks; 3 outputs
+    (nv, XX, XY) u8 (b/g/r); 6 scratches (3*XX, XY) f32."""
+    dl_ref, dr_ref = refs[0], refs[1]
+    ml_ref, mr_ref, f_ref = refs[2], refs[3], refs[4]
+    planes = refs[5:23]                      # 6 planes x 3 blocks
+    outs = refs[23:26]                       # merged b/g/r
+    scr = refs[26:32]
+    xx = _XX
+
+    for p in range(6):
+        scr[p][...] = jnp.concatenate(
+            [planes[3 * p][:].astype(F32), planes[3 * p + 1][:].astype(F32),
+             planes[3 * p + 2][:].astype(F32)], axis=0)
+
+    x0 = pl.program_id(0)
+    xg = (jax.lax.broadcasted_iota(jnp.int32, (xx, _XY), 0)
+          + x0 * xx).astype(F32)
+
+    m = f_ref[...]
+    terms = [[None] * 3 for _ in range(nv)]
+    for disp_ref, shifts, ch0, msk, wgt, first in (
+            (dr_ref, shifts_l, 0, mr_ref[...], F32(1.0) - m, True),
+            (dl_ref, shifts_r, 3, ml_ref[...], m, False)):
+        disp = disp_ref[...]
+        for v, sh in enumerate(shifts):
+            coord = jnp.clip(xg + disp * F32(sh), F32(0.0), F32(w - 1))
+            k0f = jnp.floor(coord)
+            f = coord - k0f
+            g = F32(1.0) - f
+            k0 = (k0f - xg).astype(jnp.int32)
+            lo = jnp.min(k0)
+            hi = jnp.max(k0)
+
+            def body(k, accs, k0=k0, f=f, g=g, ch0=ch0):
+                sel = k0 == k
+                new = []
+                for c in range(3):
+                    w0 = scr[ch0 + c][pl.ds(xx + k, xx), :]
+                    w1 = scr[ch0 + c][pl.ds(xx + k + 1, xx), :]
+                    new.append(jnp.where(sel, w0 * g + w1 * f, accs[c]))
+                return tuple(new)
+
+            zero = jnp.zeros((xx, _XY), F32)
+            accs = jax.lax.fori_loop(lo, hi + 1, body, (zero, zero, zero))
+            for c in range(3):
+                # the two u8 truncations ride i32 (Mosaic has no u8
+                # vector add); values stay in [0, 255] so the final u8
+                # cast is exact
+                t = (wgt * (jnp.floor(accs[c]) * msk)).astype(jnp.int32)
+                if first:
+                    terms[v][c] = t
+                else:
+                    outs[c][v] = (terms[v][c] + t).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("shifts", "num_disp",
+                                             "zero_disp", "interpret"))
+def dibr_warp_merge_views_kern_xm(img_l, img_r, disp_l, disp_r,
+                                  mask_l_t, mask_r_t, feathered_t, shifts,
+                                  num_disp: int, zero_disp: int,
+                                  interpret: bool = False):
+    """Fused warp + mask + merge: every intermediate view synthesized to
+    its final u8 values in one x-major kernel (see
+    _warp_merge_views_xm_kernel).  mask_l_t/mask_r_t/feathered_t are
+    TRANSPOSED (W, H) f32 planes (the synthesis chain's native layout);
+    returns merged (nv, W, H, 3) u8 views, bit-identical (transposed) to
+    mux_merge_ab(u8(warpL*mask_r), u8(warpR*mask_l), feathered) on the
+    unfused warp outputs (d_dibr_bwarp.cu:56-63 + d_mux_common.cu:43-45)."""
+    h, w = disp_l.shape
+    nv = len(shifts)
+    wp = -(-w // _XX) * _XX
+    hp = -(-h // _XY) * _XY
+    dmin, dmax = -zero_disp, num_disp - zero_disp
+    shifts_l = tuple(-float(s) for s in shifts)
+    shifts_r = tuple(1.0 - float(s) for s in shifts)
+    reach = int(np.ceil(max(abs(dmin), abs(dmax))
+                        * max(abs(s) for s in shifts_l + shifts_r))) + 1
+    if reach > _XX:
+        raise ValueError("disparity reach exceeds one 128-x block")
+
+    def planes(img):
+        out = []
+        for c in range(3):
+            p = img[:, :, c].astype(jnp.int32).T           # (W, H)
+            p = jnp.pad(p, ((0, wp - w), (0, hp - h)), mode="edge")
+            p = jnp.pad(p, ((_XX, _XX), (0, 0)))
+            out.append(p)
+        return out
+
+    def disp_pad(d):
+        dt = d.astype(F32).T
+        return jnp.pad(dt, ((0, wp - w), (0, hp - h)), mode="edge")
+
+    def mask_pad(m):
+        return jnp.pad(m.astype(F32), ((0, wp - w), (0, hp - h)))
+
+    args = ([disp_pad(disp_l), disp_pad(disp_r), mask_pad(mask_l_t),
+             mask_pad(mask_r_t), mask_pad(feathered_t)]
+            + [b for p in planes(img_l) + planes(img_r)
+               for b in (p, p, p)])
+
+    dspec = pl.BlockSpec((_XX, _XY), lambda x, y: (x, y),
+                         memory_space=pltpu.VMEM)
+    pspecs = [pl.BlockSpec((_XX, _XY), lambda x, y, d=d: (x + d, y),
+                           memory_space=pltpu.VMEM) for d in range(3)]
+    ospec = pl.BlockSpec((nv, _XX, _XY), lambda x, y: (0, x, y),
+                         memory_space=pltpu.VMEM)
+    oshape = jax.ShapeDtypeStruct((nv, wp, hp), jnp.uint8)
+    scratch = pltpu.VMEM((3 * _XX, _XY), jnp.float32)
+
+    outs = pl.pallas_call(
+        functools.partial(_warp_merge_views_xm_kernel, shifts_l=shifts_l,
+                          shifts_r=shifts_r, w=w, nv=nv),
+        grid=(wp // _XX, hp // _XY),
+        in_specs=[dspec] * 5 + [pspecs[d] for _ in range(6)
+                                for d in range(3)],
+        out_specs=(ospec,) * 3,
+        out_shape=(oshape,) * 3,
+        scratch_shapes=[scratch] * 6,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    return jnp.stack([o[:, :w, :h] for o in outs], axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("shifts", "num_disp",
                                              "zero_disp", "interpret"))
 def dibr_warp_views_kern_xm(img_l, img_r, disp_l, disp_r, shifts,

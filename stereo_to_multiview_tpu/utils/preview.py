@@ -43,8 +43,11 @@ class PreviewServer:
     >>> pv.paused      # driver may poll this (reference 'p' key)
     """
 
-    def __init__(self, port: int = 8089, host: str = "0.0.0.0",
+    def __init__(self, port: int = 8089, host: str = "127.0.0.1",
                  refresh_ms: int = 250):
+        # loopback by default: /pause is unauthenticated and stalls the
+        # stream driver, so exposing it beyond the host must be an
+        # explicit opt-in (pass host="0.0.0.0"; ADVICE r4)
         self._frames: Dict[str, np.ndarray] = {}
         self._lock = threading.Lock()
         self._count = 0

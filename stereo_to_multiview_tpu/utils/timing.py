@@ -59,6 +59,13 @@ class FrameMeter:
             self.times.append(now - self._last)
         self._last = now
 
+    def add(self, seconds: float) -> None:
+        """Record one directly-measured frame duration.  Unlike tick()
+        (which measures tick-to-tick deltas, so any consumer work between
+        frames lands in the NEXT delta), add() lets the driver time
+        exactly the compute+fetch span (ADVICE r4)."""
+        self.times.append(seconds)
+
     @property
     def steady_times(self) -> List[float]:
         return self.times[self.warmup:] if len(self.times) > self.warmup else self.times

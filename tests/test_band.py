@@ -650,3 +650,40 @@ def test_irv_round_need_mask_exact(rng):
     # outside need: state untouched, no spurious accepts
     np.testing.assert_array_equal(_np(part_d)[32:], _np(disp)[32:])
     np.testing.assert_array_equal(_np(part_o)[32:], outl[32:])
+
+
+def test_synthesize_interlace_fused_matches_unfused(stereo_pair, rng):
+    """The fused transposed synthesis chain (occl/bleed/feather in the
+    (W, H) domain, mask+merge inside the warp kernel, transposed
+    interlace) is bit-identical to synthesize_views + mux_multiview."""
+    from stereo_to_multiview_tpu.config import PipelineConfig
+    from stereo_to_multiview_tpu.models.pipeline import (
+        synthesize_views, synthesize_interlace)
+    left, right = stereo_pair
+    h, w = left.shape[:2]
+    cfg = PipelineConfig(num_rows=h, num_cols=w, num_rows_out=h,
+                         num_cols_out=w, num_disp=12, zero_disp=6,
+                         num_views=8, engine="band",
+                         bilateral_radius=2, feather_radius=3)
+    l, r = jnp.asarray(left), jnp.asarray(right)
+    disp_l = jnp.asarray(
+        rng.integers(-6, 6, (h, w)).astype(np.float32)
+        + rng.random((h, w)).astype(np.float32) * 0.9)
+    disp_r = jnp.asarray(
+        rng.integers(-6, 6, (h, w)).astype(np.float32)
+        + rng.random((h, w)).astype(np.float32) * 0.9)
+    views = synthesize_views(l, r, disp_l, disp_r, cfg)
+    ref = ops.mux_multiview(views, h, w, cfg.angle)
+    out = synthesize_interlace(l, r, disp_l, disp_r, cfg)
+    np.testing.assert_array_equal(_np(ref), _np(out))
+
+
+def test_gaussian_lift_t_matches_natural(rng):
+    """filter_gaussian_lift_t(m.T).T == filter_gaussian_lift(m) to the
+    last f32 bit (the fused synthesis chain's feather)."""
+    from stereo_to_multiview_tpu.ops.filters import (
+        filter_gaussian_lift, filter_gaussian_lift_t)
+    m = jnp.asarray(rng.random((37, 53)).astype(np.float32))
+    a = filter_gaussian_lift(m, 5, 7.0)
+    b = filter_gaussian_lift_t(m.T, 5, 7.0)
+    np.testing.assert_array_equal(_np(a), _np(b.T))

@@ -106,3 +106,20 @@ def test_fish_other_view_count():
     sbs = np.concatenate([l, r], axis=1)
     dl, dr, il = process_frame(sbs, cfg)
     assert np.asarray(il).shape == (120, 192, 3)
+
+
+def test_use_median_flag(bud_sbs):
+    """cfg.use_median inserts the 3x3 median between IRV and the
+    bilateral (reference call site image_io.cpp:239-240, commented on the
+    live path): the flagged pipeline differs from the plain one and still
+    yields a valid disparity map."""
+    from stereo_to_multiview_tpu.ops.demux import demux_sbs
+
+    img_l, img_r = demux_sbs(bud_sbs)
+    dl_m, dr_m, _, _ = compute_disparities(img_l, img_r,
+                                           CFG.replace(use_median=True))
+    dl, _, _, _ = compute_disparities(img_l, img_r, CFG)
+    assert not np.array_equal(np.asarray(dl_m), np.asarray(dl))
+    lo, hi = CFG.disp_range
+    for a in (np.asarray(dl_m), np.asarray(dr_m)):
+        assert a.min() >= lo and a.max() < hi

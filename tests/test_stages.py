@@ -281,3 +281,22 @@ def test_mux_merge_truncation_semantics():
     out = G.mux_merge_ab(b, a, m)
     assert out[0, 0, 0] == 100  # trunc(50.5)+trunc(50.5) = 100, not 101
     np.testing.assert_array_equal(out, _np(O.mux_merge_ab(b, a, m)))
+
+
+def test_dc_hslo_hwd_matches_dhw_layout():
+    """(H, W, D)-layout HSLO == (D, H, W)-layout HSLO for both signs
+    (ADVICE r4: the two layout twins were only linked manually)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from stereo_to_multiview_tpu.ops.hslo import dc_hslo, dc_hslo_hwd
+    rng = np.random.default_rng(7)
+    h, w, d, zd = 12, 40, 8, 4
+    vol = jnp.asarray(rng.random((d, h, w)).astype(np.float32))
+    gl = jnp.asarray(rng.integers(0, 256, (h, w)).astype(np.uint8))
+    gr = jnp.asarray(rng.integers(0, 256, (h, w)).astype(np.uint8))
+    for sign in (+1, -1):
+        ref = dc_hslo(vol, gl, gr, d, zd, 15.0, 1.0, 3.0, sign=sign)
+        out = dc_hslo_hwd(jnp.moveaxis(vol, 0, 2), gl, gr, d, zd,
+                          15.0, 1.0, 3.0, sign=sign)
+        np.testing.assert_array_equal(np.asarray(ref),
+                                      np.asarray(jnp.moveaxis(out, 2, 0)))
