@@ -7,26 +7,33 @@ kernels fuse the round:
   I1 `_rowspan_kernel`: builds each row's one-hot tile in VMEM straight
      from the disparity/outlier rows and contracts it with the L/R-arm
      band matrix on the MXU -- writing the row-span volume directly in
-     (W, H, B) layout, bf16 (counts <= 2*usd+1 < 256, exact).
+     (W, H, B) layout as uint8 (counts <= 2*usd+1 <= 129, exact).
   I2 `_vote_kernel`: the vertical pass in that transposed layout (bins on
      the MXU lanes, like the band kernel) with the histogram reduced
      *in-kernel*: running first-max winner, max count and total -- no
-     histogram volume ever exists.  The row-span volume is row-resident
-     (one (8, H, B) block per grid step, windows taken by static slices),
-     so it is read once from HBM, not 3x.
+     histogram volume ever exists.
 
-Outlier-sparse skipping: votes only matter at outlier pixels, and IRV
-accepts only shrink the outlier set, so most blocks do nothing after the
-first round or two.  BOTH kernels take scalar-prefetched per-block
-flags: the vote kernel skips H tiles with no outlier among their output
-pixels (zero totals are never accepted), and the rowspan kernel skips
-blocks with no outlier within vertical vote reach (zero spans are read
-only by discarded votes) -- both skips are exact.  The early-stopping
-round loop (ops.band.dr_irv_band_chunked) removes converged rounds
-entirely.
+Outlier-sparse skipping (round 5: MANUAL flag-gated DMA -- the round-4
+dense block specs wrote/read the whole ~300-600 MB row-span volume every
+round regardless of flags, which bounded round 1):
 
-Both kernels are integer-exact, so a full IRV round is bit-identical to
-ops.irv.dr_irv / ops.band.dr_irv_band.
+  * the row-span volume lives in compiler-chosen (HBM) memory, never as
+    pipelined blocks.  The rowspan kernel DMAs each (256-x, 32-row)
+    block VMEM->HBM only when its write flag says a needed vote can read
+    it (flag 1 = compute+write, 2 = zero-fill, 0 = skip entirely -- no
+    zero write, no DMA).
+  * the vote kernel DMAs only the (8-W, 256-row) span windows of H
+    segments that contain a `need` pixel (vflags); skipped segments
+    write zero totals (never accepted).
+  * zero-fill flags (2) cover exactly the rows a FLAGGED vote segment's
+    window can touch beyond the computed blocks, so gated reads never
+    see uninitialized memory (a NaN there would poison the 0-weight band
+    columns of needed votes).  Unflagged regions are never read: votes
+    at non-`need` pixels are masked out of the accept (need_px below).
+
+All skips are exact; a full IRV round remains bit-identical to
+ops.irv.dr_irv / ops.band.dr_irv_band.  The early-stopping round loop
+(ops.band.dr_irv_band_chunked) removes converged rounds entirely.
 """
 
 from __future__ import annotations
@@ -50,29 +57,23 @@ _PAD = 128    # x padding of the disparity rows (row-pass window reach)
 _HPAD = 64    # H padding of the row-span volume (vote window reach)
 
 
-def _rowspan_kernel(rflags_ref, disp_ref, outl_ref, al_ref, ar_ref,
-                    out_ref, *, num_disp: int, zero_disp: int, reach: int,
-                    n_xt: int):
-    """One (32-row, 256-column) step: out (256x, 32row, B) bf16 row spans.
+def _rowspan_kernel(wflags_ref, disp_ref, outl_ref, al_ref, ar_ref,
+                    rs_hbm, scratch, sem, *, num_disp: int, zero_disp: int,
+                    reach: int, n_xt: int):
+    """One (32-row, 256-column) step: (256x, 32row, B) u8 row spans,
+    written to the HBM-resident span volume by flag-gated manual DMA.
 
     `reach` is the usd-adaptive window radius (8-multiple >= usd <= 64):
     only the columns [x0-reach, x0+_XTILE+reach) of the padded span feed
-    the contraction (the lane-dim loads stay 128-granular; the shrink is
-    in the sublane-sliced transposes and the band/one-hot matrices).
-
-    Outlier-sparse skip: a block whose output pixels have NO outlier
-    within vertical vote reach (scalar-prefetched rflags) writes zero
-    spans -- read only by votes at non-outlier pixels, which are always
-    discarded, so the skip is exact.  The stores stack all 32 rows into
-    ONE full-block write: Mosaic rejects the per-row middle-index store
-    inside pl.when ("unsupported shape cast") but lowers the 3D
-    full-block form.
-    """
+    the contraction.  wflags (scalar-prefetched): 1 = compute + write,
+    2 = write zeros (read-cover of a flagged vote window that no
+    computed block fills), 0 = skip -- no write at all (round 4 wrote
+    zeros densely, which made round 1 DMA-bound)."""
     yb = pl.program_id(0)
     s = pl.program_id(1)
-    flag = rflags_ref[yb * n_xt + s]
+    flag = wflags_ref[yb * n_xt + s]
 
-    @pl.when(flag != 0)
+    @pl.when(flag == 1)
     def _compute():
         base = pl.multiple_of(s * _XTILE, _LANE)
         win = _XTILE + 2 * reach
@@ -99,34 +100,42 @@ def _rowspan_kernel(rflags_ref, disp_ref, outl_ref, al_ref, ar_ref,
             reli = o_t[:, r:r + 1] == 0
             onehot = (reli & (dint + zero_disp == b_iota)).astype(BF16)
             y_dot = jnp.dot(band, onehot, preferred_element_type=F32)
-            rows.append(y_dot.astype(BF16))                # exact: <= 129
-        out_ref[:] = jnp.stack(rows, axis=1)               # (X, R, B)
+            rows.append(y_dot.astype(jnp.int32))           # exact: <= 129
+        scratch[...] = jnp.stack(rows, axis=1).astype(jnp.uint8)
 
-    @pl.when(flag == 0)
+    @pl.when(flag == 2)
     def _zero():
-        out_ref[:] = jnp.zeros((_XTILE, _ROWS, num_disp), BF16)
+        scratch[...] = jnp.zeros((_XTILE, _ROWS, num_disp), jnp.uint8)
+
+    @pl.when(flag != 0)
+    def _write():
+        dma = pltpu.make_async_copy(
+            scratch,
+            rs_hbm.at[pl.ds(s * _XTILE, _XTILE),
+                      pl.ds(yb * _ROWS + _HPAD, _ROWS), :],
+            sem)
+        dma.start()
+        dma.wait()
 
 
-def _vote_kernel(vflags_ref, rs_ref, au_ref, ad_ref,
-                 win_ref, max_ref, tot_ref, *, num_disp: int, n_hseg: int,
-                 hp: int, reach: int):
+def _vote_kernel(vflags_ref, rs_hbm, au_ref, ad_ref,
+                 win_ref, max_ref, tot_ref, scratch, sem, *,
+                 num_disp: int, n_hseg: int):
     """One 8-W-row grid step in the (W, H, B) layout: vertical inclusive
-    span + in-kernel histogram reduction, looping the H tiles in-kernel
-    on a resident (8, H + 128, B) block.  `reach` is the usd-adaptive
-    window radius (<= _HPAD); rs_ref's first/last 64 H columns are
-    unwritten padding, masked before the dot.  Skipped H tiles (no
-    outlier among their output pixels) write zero totals (never
-    accepted)."""
+    span + in-kernel histogram reduction.  The span volume stays in HBM;
+    each FLAGGED 128-H segment DMAs only its (8, 128 + 2*_HPAD, B)
+    window into VMEM (u8 -> bf16 in-kernel).  Skipped H tiles (no `need`
+    pixel among their output pixels) write zero totals (never accepted)
+    and move no data."""
     b = pl.program_id(0)
 
     au_all = au_ref[:].T                 # (hp, VROWS)
     ad_all = ad_ref[:].T
 
-    win = _LANE + 2 * reach
+    win = _LANE + 2 * _HPAD
     o = jax.lax.broadcasted_iota(jnp.int32, (_LANE, win), 0)
     i = jax.lax.broadcasted_iota(jnp.int32, (_LANE, win), 1)
-    r_off = i - reach - o
-    j = jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0)
+    r_off = i - _HPAD - o
 
     for s in range(n_hseg):
         a0 = s * _LANE
@@ -134,15 +143,17 @@ def _vote_kernel(vflags_ref, rs_ref, au_ref, ad_ref,
 
         @pl.when(flag != 0)
         def _compute(s=s, a0=a0):
-            x0 = a0 + _HPAD - reach      # window start inside rs_ref
+            dma = pltpu.make_async_copy(
+                rs_hbm.at[pl.ds(b * _VROWS, _VROWS),
+                          pl.ds(a0, win), :],
+                scratch, sem)
+            dma.start()
+            dma.wait()
             for r in range(_VROWS):
                 an = au_all[a0:a0 + _LANE, r:r + 1]
                 ap = ad_all[a0:a0 + _LANE, r:r + 1]
                 band = _band01(r_off, an, ap, True)
-                x = rs_ref[r, x0:x0 + win, :]
-                if s == 0 or s == n_hseg - 1:
-                    valid = ((x0 + j >= _HPAD) & (x0 + j < _HPAD + hp))
-                    x = jnp.where(valid, x, jnp.zeros_like(x))
+                x = scratch[r].astype(jnp.int32).astype(BF16)
                 hist = jnp.dot(band, x, preferred_element_type=F32)
                 tot_ref[r, a0:a0 + _LANE] = jnp.sum(hist, axis=1)
                 max_ref[r, a0:a0 + _LANE] = jnp.max(hist, axis=1)
@@ -151,7 +162,8 @@ def _vote_kernel(vflags_ref, rs_ref, au_ref, ad_ref,
                 # rule, dr_irv_pre_kernel).  See ops/band.py _res_kernel
                 # for the measured cost of exact-tie constructions
                 # (+20 ms/frame); same-backend determinism (chunking /
-                # sharding) is unaffected.
+                # sharding) is unaffected.  Guarded by
+                # scripts/tpu_validate.py tierule.
                 win_ref[r, a0:a0 + _LANE] = jnp.argmax(
                     hist, axis=1).astype(jnp.int32)
 
@@ -179,16 +191,15 @@ def irv_round_kern(disp: jnp.ndarray, outliers: jnp.ndarray,
     outlier/disparity state untouched.  A pixel's vote outcome can only
     change when a reliable pixel inside its cross region (a Chebyshev
     ball of radius usd) changed since its last evaluation, so the round
-    loop passes the dilated change frontier -- exact, and on real
-    content rounds after the first collapse to near the DMA floor
-    (measured: one dense round costs ~12 ms at 1080p with 0.02%%
-    outliers; the flags, not the outlier count, set the cost)."""
+    loop passes the dilated change frontier -- exact.  With the manual
+    flag-gated DMA the round's span-volume traffic scales with the
+    flagged fraction, not the frame size."""
     from stereo_to_multiview_tpu.ops.cross import UP, DOWN, LEFT, RIGHT
     if usd > _LANE // 2:
         raise ValueError("usd must be <= 64 (256-wide kernel windows)")
     reach = max(8, -(-usd // 8) * 8)     # usd-adaptive window radius
     # bins padded to a full 128-lane tile: Mosaic (current toolchain)
-    # rejects the rowspan's middle-index bf16 store at narrower lane
+    # rejects the rowspan's middle-index store at narrower lane
     # widths ("unsupported shape cast").  Pad bins never match a
     # disparity (one-hot compares against dint + zero_disp < num_disp),
     # so their counts are zero and winner/max/total are unchanged.
@@ -219,12 +230,13 @@ def irv_round_kern(disp: jnp.ndarray, outliers: jnp.ndarray,
     n_xb, n_hseg = wp // _VROWS, hp // _LANE
     m2 = need.reshape(n_hseg, _LANE, n_xb, _VROWS).any(axis=(1, 3)).T
     vflags = m2.astype(jnp.int32).reshape(-1)
-    # rowspan blocks skip when no outlier sits within vertical vote reach
-    # of their output rows: block-any at the (32-row, 256-col) grain,
-    # then dilate by ceil(usd/32) block rows with shifted ORs (an
-    # over-approximation of the exact +-usd reach -- extra flagged
-    # blocks just compute spans nobody reads; reduce_window blew the
-    # 4K scoped-vmem budget)
+    # rowspan write flags: 1 where an outlier sits within vertical vote
+    # reach of the block's rows (block-any at the (32-row, 256-col)
+    # grain, dilated by ceil(usd/32) block rows -- an over-approximation
+    # of the exact +-usd reach); 2 where a FLAGGED vote segment's DMA
+    # window ([s*128 - _HPAD, s*128 + 128 + _HPAD) rows) touches the
+    # block but no computed block fills it -- those must be zero, not
+    # uninitialized memory; 0 elsewhere (no write at all)
     blk = need.reshape(n_yb, _ROWS, n_xt, _XTILE).any(axis=(1, 3))
     r_reach = -(-usd // _ROWS)
     dil = blk
@@ -232,7 +244,19 @@ def irv_round_kern(disp: jnp.ndarray, outliers: jnp.ndarray,
         up = jnp.pad(blk[k:], ((0, k), (0, 0)))
         dn = jnp.pad(blk[:-k], ((k, 0), (0, 0)))
         dil = dil | up | dn
-    rflags = dil.astype(jnp.int32).reshape(-1)
+    # read cover: vote seg s (any flagged 8-W strip in the x-tile) reads
+    # rowspan blocks [4s - _HPAD/_ROWS, 4s + 3 + _HPAD/_ROWS]
+    vt = m2.T.reshape(n_hseg, n_xt, _XTILE // _VROWS).any(axis=2)
+    segs_per = _LANE // _ROWS                     # 4 rowspan blocks/seg
+    cover = jnp.repeat(vt, segs_per, axis=0)      # (n_yb, n_xt)
+    c_reach = _HPAD // _ROWS
+    cov = cover
+    for k in range(1, c_reach + 1):
+        up = jnp.pad(cover[k:], ((0, k), (0, 0)))
+        dn = jnp.pad(cover[:-k], ((k, 0), (0, 0)))
+        cov = cov | up | dn
+    wflags = jnp.where(dil, 1, jnp.where(cov, 2, 0)) \
+        .astype(jnp.int32).reshape(-1)
 
     # x-neighbor reach for the row pass
     dx = jnp.pad(disp_p, ((0, 0), (_PAD, _PAD)))
@@ -243,7 +267,6 @@ def irv_round_kern(disp: jnp.ndarray, outliers: jnp.ndarray,
     row_spec = pl.BlockSpec((_ROWS, wp + 2 * _PAD),
                             lambda y, s, f: (y, 0),
                             memory_space=pltpu.VMEM)
-    hoff = _HPAD // _ROWS
     rs = pl.pallas_call(
         functools.partial(_rowspan_kernel, num_disp=num_bins,
                           zero_disp=zero_disp, reach=reach, n_xt=n_xt),
@@ -251,39 +274,42 @@ def irv_round_kern(disp: jnp.ndarray, outliers: jnp.ndarray,
             num_scalar_prefetch=1,
             grid=(n_yb, n_xt),
             in_specs=[row_spec] * 4,
-            out_specs=pl.BlockSpec((_XTILE, _ROWS, num_bins),
-                                   lambda y, s, f: (s, y + hoff, 0),
-                                   memory_space=pltpu.VMEM)),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[pltpu.VMEM((_XTILE, _ROWS, num_bins),
+                                       jnp.uint8),
+                            pltpu.SemaphoreType.DMA(())]),
         out_shape=jax.ShapeDtypeStruct((wp, hp + 2 * _HPAD, num_bins),
-                                       BF16),
+                                       jnp.uint8),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(rflags, dx, ox, alx, arx)
+    )(wflags, dx, ox, alx, arx)
 
     # vertical pass + reduce, in the (W, H, B) layout
     au_t = au.T                        # (W, H)
     ad_t = ad_.T
 
-    rs_spec = pl.BlockSpec((_VROWS, hp + 2 * _HPAD, num_bins),
-                           lambda b, f: (b, 0, 0), memory_space=pltpu.VMEM)
     arm_spec = pl.BlockSpec((_VROWS, hp), lambda b, f: (b, 0),
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((_VROWS, hp), lambda b, f: (b, 0),
                             memory_space=pltpu.VMEM)
+    vwin = _LANE + 2 * _HPAD
     win_t, max_t, tot_t = pl.pallas_call(
-        functools.partial(_vote_kernel, num_disp=num_bins, n_hseg=n_hseg,
-                          hp=hp, reach=reach),
+        functools.partial(_vote_kernel, num_disp=num_bins, n_hseg=n_hseg),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_xb,),
-            in_specs=[rs_spec, arm_spec, arm_spec],
-            out_specs=(out_spec,) * 3),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      arm_spec, arm_spec],
+            out_specs=(out_spec,) * 3,
+            scratch_shapes=[pltpu.VMEM((_VROWS, vwin, num_bins),
+                                       jnp.uint8),
+                            pltpu.SemaphoreType.DMA(())]),
         out_shape=(jax.ShapeDtypeStruct((wp, hp), jnp.int32),
                    jax.ShapeDtypeStruct((wp, hp), jnp.float32),
                    jax.ShapeDtypeStruct((wp, hp), jnp.float32)),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+            dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(vflags, rs, au_t, ad_t)
 

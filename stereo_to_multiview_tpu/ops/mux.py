@@ -140,6 +140,47 @@ def mux_view_pattern(v_cnt: int, num_rows_out: int, num_cols_out: int,
                      axis=-1)
 
 
+def _resample_mats(n_out: int, n_in: int):
+    """One-hot select matrices + lerp weights for the interlace resample.
+    The bilinear lerp is applied ELEMENTWISE over two one-hot matmul
+    selects (not as a single 2-nonzero-weight matmul): one-hot dots are
+    exact under any matmul blocking/FMA strategy, so the row-sharded
+    interlace (parallel.halo slices these same matrices) matches the
+    unsharded one bit-for-bit -- and the op order is exactly the
+    reference's alu_bilinear_interp association (d_alu.cu:45-71)."""
+    from stereo_to_multiview_tpu.ops.scale import _samp_np
+    s = _samp_np(n_out, n_in)
+    i0 = np.floor(s).astype(np.int64)
+    i1 = np.minimum(i0 + 1, n_in - 1)
+    w = (s - i0.astype(np.float32)).astype(np.float32)
+    cols = np.arange(n_out)
+    m0 = np.zeros((n_in, n_out), np.float32)
+    m1 = np.zeros((n_in, n_out), np.float32)
+    m0[i0, cols] = np.float32(1.0)
+    m1[i1, cols] = np.float32(1.0)
+    return m0, m1, w
+
+
+def resample_views_f32(views_f32, my0, my1, wy, mx0, mx1, wx):
+    """(V, H, W, 3) f32 -> (V, H_out, W_out, 3) f32 bilinear resample:
+    x-lerps then the y-lerp, each as two one-hot selects + an elementwise
+    lerp (see _resample_mats).  Weight vectors wx (W_out,) / wy (H_out,)
+    are f32."""
+    import jax
+    hp = jax.lax.Precision.HIGHEST
+    one = np.float32(1.0)
+    wx = jnp.asarray(wx)[None, None, :, None]
+    wy = jnp.asarray(wy)[None, :, None, None]
+    a0 = jnp.einsum("vhwc,wW->vhWc", views_f32, jnp.asarray(mx0),
+                    precision=hp)
+    a1 = jnp.einsum("vhwc,wW->vhWc", views_f32, jnp.asarray(mx1),
+                    precision=hp)
+    ax = a0 * (one - wx) + a1 * wx
+    b0 = jnp.einsum("vhWc,hH->vHWc", ax, jnp.asarray(my0), precision=hp)
+    b1 = jnp.einsum("vhWc,hH->vHWc", ax, jnp.asarray(my1), precision=hp)
+    return b0 * (one - wy) + b1 * wy
+
+
 def _mux_interlace(views, num_rows_out, num_cols_out, y_mod, inv_y, ty):
     """Shared interlace body; `ty` is the output row index vector (a NumPy
     array normally -- the view pattern folds to compile-time constants --
@@ -162,8 +203,8 @@ def _mux_interlace(views, num_rows_out, num_cols_out, y_mod, inv_y, ty):
     # resample is the identity (weights collapse to (1, 0); u8 values are
     # f32-exact), so the V full-frame resizes are skipped outright --
     # the interlace is then a pure V-way select.  Non-identity
-    # resolutions resample all V views in ONE batched einsum pair (one
-    # MXU matmul per axis with V x 3 riding the batch dims, not 2V
+    # resolutions resample all V views in two batched one-hot einsum
+    # pairs + elementwise lerps (V x 3 riding the batch dims, not 2V
     # chained ops); the remaining V-factor vs the reference's
     # one-gather-per-subpixel (d_mux_multiview.cu:57-82) is the price of
     # a gather-free formulation and applies to no BASELINE config.
@@ -182,14 +223,11 @@ def _mux_interlace(views, num_rows_out, num_cols_out, y_mod, inv_y, ty):
     if identity:
         sampled_all = views
     else:
-        from stereo_to_multiview_tpu.ops.scale import _linear_matrix
-        hp = __import__("jax").lax.Precision.HIGHEST
-        mx = jnp.asarray(_linear_matrix(num_cols_out, w_in))
-        my = jnp.asarray(_linear_matrix(num_rows_out, h_in))
-        a = jnp.einsum("vhwc,wW->vhWc", views.astype(F32), mx,
-                       precision=hp)
-        a = jnp.einsum("vhWc,hH->vHWc", a, my, precision=hp)
-        sampled_all = a.astype(jnp.uint8)
+        my0, my1, wy = _resample_mats(num_rows_out, h_in)
+        mx0, mx1, wx = _resample_mats(num_cols_out, w_in)
+        sampled_all = resample_views_f32(
+            views.astype(F32), my0, my1, wy, mx0, mx1, wx
+        ).astype(jnp.uint8)
     out = jnp.zeros((num_rows_out, num_cols_out, 3), jnp.uint8)
     for v in range(v_cnt):
         out = jnp.where(view_id == v, sampled_all[v], out)

@@ -116,9 +116,11 @@ def halo_process_frame(mesh: Mesh, cfg: PipelineConfig,
     engine the stages are exact by construction (halos cover every
     stencil; global borders are reproduced per edge mode).
     """
-    if (cfg.num_rows_out, cfg.num_cols_out) != (cfg.num_rows, cfg.num_cols):
-        raise ValueError("halo path needs output res == input res; "
-                         "use parallel.sharded for resampling outputs")
+    resample = ((cfg.num_rows_out, cfg.num_cols_out)
+                != (cfg.num_rows, cfg.num_cols))
+    if resample and view_axis is not None:
+        raise ValueError("resampled-output interlace is row-sharded only; "
+                         "drop the view axis or use identity resolution")
     n_dev = mesh.shape[row_axis]
     n_view = mesh.shape[view_axis] if view_axis else 1
     if cfg.num_rows % n_dev:
@@ -128,6 +130,46 @@ def halo_process_frame(mesh: Mesh, cfg: PipelineConfig,
         raise ValueError(f"num_views {cfg.num_views} not divisible by "
                          f"view axis {n_view}")
     rows_loc = cfg.num_rows // n_dev
+
+    # --- resampled-output interlace (d_mux_multiview.cu:57-82): the
+    # output rows of shard i bilinearly sample input rows that sit inside
+    # shard i's input rows up to a tiny, statically-computable halo
+    # (sampling is y*h_in/h_out, so output and input shards stay aligned
+    # to within the lerp's 1-row reach).  Exchange exactly that halo of
+    # the synthesized views, then resample with the shard's slice of the
+    # global bilinear weight matrix -- each output row still sums the
+    # same two adjacent input rows in the same order, so the interlace
+    # is bit-identical to the unsharded mux_multiview.
+    if resample:
+        import numpy as np
+        from stereo_to_multiview_tpu.ops.mux import _resample_mats
+        if cfg.num_rows_out % n_dev:
+            raise ValueError(f"num_rows_out {cfg.num_rows_out} not "
+                             f"divisible by mesh axis {n_dev}")
+        ho_loc = cfg.num_rows_out // n_dev
+        my0, my1, wy_out = _resample_mats(cfg.num_rows_out, cfg.num_rows)
+        mx_mats = _resample_mats(cfg.num_cols_out, cfg.num_cols)
+        y0 = my0.argmax(axis=0)
+        y1 = my1.argmax(axis=0)
+        rs_lo = rs_hi = 0
+        for i in range(n_dev):
+            sl = slice(i * ho_loc, (i + 1) * ho_loc)
+            rs_lo = max(rs_lo, i * rows_loc - int(y0[sl].min()))
+            rs_hi = max(rs_hi, int(y1[sl].max()) - ((i + 1) * rows_loc - 1))
+        rs_lo, rs_hi = max(rs_lo, 0), max(rs_hi, 0)
+        if max(rs_lo, rs_hi) > rows_loc:
+            raise ValueError("resample halo exceeds the shard height; "
+                             "use fewer devices or parallel.sharded")
+        # global (h_in, h_out) one-hot row selects, zero-padded so shard
+        # i's row window [i*rows_loc - rs_lo, (i+1)*rows_loc + rs_hi)
+        # slices at the in-bounds offset i*rows_loc
+        def _pad_rows(m):
+            p = np.zeros((cfg.num_rows + rs_lo + rs_hi,
+                          cfg.num_rows_out), np.float32)
+            p[rs_lo:rs_lo + cfg.num_rows] = m
+            return p
+        my0_pad, my1_pad = _pad_rows(my0), _pad_rows(my1)
+
     usd = cfg.usd
     h_img = 3 * usd            # image halo for arms+cost+2 V passes
     max_halo = max(h_img, cfg.bilateral_radius, cfg.feather_radius,
@@ -330,7 +372,42 @@ def halo_process_frame(mesh: Mesh, cfg: PipelineConfig,
                     mids.append(mux_merge_ab(a, b, feathered))
             views = (jnp.stack([img_r] + mids + [img_l]) if v > 2
                      else jnp.stack([img_r, img_l]))
-            interlaced = mux_multiview_rows(views, cfg.angle, row0)
+            if not resample:
+                interlaced = mux_multiview_rows(views, cfg.angle, row0)
+                return disp_l, disp_r, interlaced
+
+            # resampled interlace: exchange the statically-computed
+            # view-row halo, resample with the shard's slice of the
+            # padded one-hot selects + elementwise lerps (the exact
+            # computation ops.mux.resample_views_f32 runs unsharded --
+            # one-hot dots are blocking-independent, so bit-exact), then
+            # the V-way select at the GLOBAL output row phase
+            from stereo_to_multiview_tpu.ops.mux import resample_views_f32
+            vr = jnp.moveaxis(views, 1, 0)       # (rows, V, W, 3)
+            if rs_lo or rs_hi:
+                vr = halo_exchange(vr, rs_lo, rs_hi, n_dev, axis,
+                                   edge="zero")  # zero-weight rows
+            ext_v = jnp.moveaxis(vr, 0, 1).astype(F32)
+            hsz = rows_loc + rs_lo + rs_hi
+            my0_loc = jax.lax.dynamic_slice(
+                jnp.asarray(my0_pad), (idx * rows_loc, idx * ho_loc),
+                (hsz, ho_loc))
+            my1_loc = jax.lax.dynamic_slice(
+                jnp.asarray(my1_pad), (idx * rows_loc, idx * ho_loc),
+                (hsz, ho_loc))
+            wy_loc = jax.lax.dynamic_slice(
+                jnp.asarray(wy_out), (idx * ho_loc,), (ho_loc,))
+            sampled = resample_views_f32(
+                ext_v, my0_loc, my1_loc, wy_loc,
+                *mx_mats).astype(jnp.uint8)
+            ty_out = jnp.arange(ho_loc) + idx * ho_loc
+            pattern = mux_view_pattern(v, ho_loc, cfg.num_cols_out,
+                                       cfg.angle, ty_out)
+            interlaced = jnp.zeros((ho_loc, cfg.num_cols_out, 3),
+                                   jnp.uint8)
+            for vi in range(v):
+                interlaced = jnp.where(pattern == vi, sampled[vi],
+                                       interlaced)
             return disp_l, disp_r, interlaced
 
         # view-axis fan-out: this device synthesizes views

@@ -568,6 +568,25 @@ def test_fast_exp_cost_parity(rng):
         _np(b), _np(jnp.rint(rb * 127).astype(jnp.bfloat16)))
 
 
+def test_hslo_hwd_matches_dhw(rng):
+    """dc_hslo_hwd ((H, W, D), the band engine's layout) must equal
+    dc_hslo ((D, H, W), the XLA engine's layout) up to the moveaxis --
+    pins the penalty shift/sign conventions of the two formulations
+    against each other for BOTH eye signs (ADVICE r4: this equivalence
+    was only manually verified before)."""
+    from stereo_to_multiview_tpu.ops.hslo import dc_hslo, dc_hslo_hwd
+    h, w, d, zd = 20, 96, 16, 8
+    vol = jnp.asarray(rng.random((h, w, d)).astype(np.float32))
+    gl = jnp.asarray(rng.integers(0, 256, (h, w)).astype(np.uint8))
+    gr = jnp.asarray(rng.integers(0, 256, (h, w)).astype(np.uint8))
+    for sign in (+1, -1):
+        a = dc_hslo_hwd(vol, gl, gr, d, zd, 15.0, 2.0, 6.0, sign=sign)
+        b = dc_hslo(jnp.moveaxis(vol, 2, 0), gl, gr, d, zd, 15.0, 2.0,
+                    6.0, sign=sign)
+        np.testing.assert_allclose(_np(a), _np(jnp.moveaxis(b, 0, 2)),
+                                   rtol=0, atol=1e-4)
+
+
 def test_hslo_wta_kern_matches_scan(rng):
     """Fused Pallas DP+WTA kernel vs the lax.scan twin (dc_hslo_hwd +
     argmin): identical disparities on integer-valued volumes, both eye
