@@ -163,6 +163,33 @@ def stage_model(H, W, D, V, usd, lsd, r_bil, r_feather, irv_rounds):
     return st
 
 
+def hslo_row(H, W, D, rows_blk=16):
+    """Optional-stage floor for the fused scanline-DP kernel
+    (ops/hslokern.py, --hslo).  Unlike every other stage the DP is
+    LATENCY-bound: each column's (rows_blk, D) update depends on the
+    previous column's, so the critical path is
+        grid_steps x W x 2 directions x DEP dependent vector ops,
+    priced at VLAT cycles each (dependent-op latency; issue cost of the
+    2 f32 vregs per op is below it).  DEP ~= 12: the cross-lane min
+    reduce (~7 log steps) + the add/min/min/add/sub chain of the SGM
+    update (d_dc_hslo.cu:31-95 semantics).  The elementwise work (loads,
+    penalty tiers, non-chain ops) and HBM bytes ride the usual terms and
+    are overlapped with the chain on real hardware, so the row's bound
+    is max(), like every other stage."""
+    E = 2
+    N = H * W
+    DEP, VLAT = 12, 6
+    steps = -(-E * H // rows_blk)
+    lat_cyc = steps * W * 2 * DEP * VLAT
+    return dict(macs=0,
+                eops=E * N * D * (2 * (1 + 9 + 8) + 4),
+                exps=0,
+                bytes=E * N * D * 5 + E * N * 4,
+                lat_cyc=lat_cyc,
+                note=f"serial DP chain: {steps}x{W} cols x 2 dirs x "
+                     f"{DEP} deps @ {VLAT} cyc; {rows_blk}-row blocks")
+
+
 # r4 measured stage table (fish-3x input, 1x v5e, lax.map batch 8-16,
 # net of relay dispatch; outputs reduced but kernel work DCE-proof) --
 # update alongside BASELINE.md.  "agg+wta" = band_aggregate_q both eyes
@@ -202,6 +229,9 @@ def main():
                          "use 5 for the standalone worst case")
     ap.add_argument("--measured", default="",
                     help="stage=ms,... measured times to rate against")
+    ap.add_argument("--hslo", action="store_true",
+                    help="add the optional scanline-DP stage's row "
+                         "(excluded from the default-path total)")
     args = ap.parse_args()
 
     measured = dict(MEASURED_R4)
@@ -213,6 +243,8 @@ def main():
     st = stage_model(args.rows, args.cols, args.disp, args.views,
                      args.usd, args.lsd, args.bilateral, args.feather,
                      args.irv_rounds)
+    if args.hslo:
+        st["hslo"] = hslo_row(args.rows, args.cols, args.disp)
 
     hdr = (f"{'stage':14s} {'MXU':>10s} {'VPU eops':>10s} {'HBM':>10s} "
            f"{'mxu ms':>7s} {'vpu ms':>7s} {'hbm ms':>7s} "
@@ -224,9 +256,10 @@ def main():
         t_mxu = 2 * d["macs"] / MXU_FLOPS * 1e3
         t_vpu = (d["eops"] + EXP_COST * d["exps"]) / VPU_EOPS * 1e3
         t_hbm = d["bytes"] / HBM_BPS * 1e3
-        bound = max(t_mxu, t_vpu, t_hbm)
-        which = ("mxu", "vpu", "hbm")[
-            [t_mxu, t_vpu, t_hbm].index(bound)]
+        t_lat = d.get("lat_cyc", 0) / CLK * 1e3
+        bound = max(t_mxu, t_vpu, t_hbm, t_lat)
+        which = ("mxu", "vpu", "hbm", "lat")[
+            [t_mxu, t_vpu, t_hbm, t_lat].index(bound)]
         m = measured.get(name.split("(")[0], measured.get(name))
         tot_bound += bound
         pct = ""

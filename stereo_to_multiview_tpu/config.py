@@ -74,6 +74,16 @@ class PipelineConfig:
                                  # path (one MXU dot per pass, ~4 bits of
                                  # aggregate precision lost per rescale --
                                  # WTA flips only at near-ties)
+    band_qscale: float = 127.0   # band-engine cost quantization scale
+                                 # (q = rint(cost * qscale), cost <= 2).
+                                 # 127 (default): u8 volumes, the r2-r4
+                                 # shipping path.  Higher values (255,
+                                 # 510, 1020) shrink the engine's single
+                                 # lossy step's residual at a documented
+                                 # cost: int16 cost volumes (2x relayout
+                                 # bytes) and a split pass-1 digit dot
+                                 # (scripts/qscale_sweep.py; BASELINE.md
+                                 # fidelity dial rows)
     xla_agg_qscale: float = 0.0  # > 0: quantize costs to
                                  # rint(cost*qscale) before the XLA
                                  # engine's cumsum aggregation.  Integer

@@ -86,8 +86,8 @@ def _terms(x, mode: str, terms: int):
     exact.  mode 'float': successive bf16 remainders (hi = bf16(x),
     mid = bf16(x - hi), ...) for ~f32 accuracy at `terms` x the bf16 cost.
     """
-    if x.dtype == jnp.uint8:
-        x = x.astype(jnp.int32)         # no direct u8 -> bf16/f32 in Mosaic
+    if x.dtype in (jnp.uint8, jnp.int16):
+        x = x.astype(jnp.int32)   # no direct narrow-int -> bf16/f32 casts
     if mode == "int":
         if terms == 1:
             return [(x.astype(BF16), None)]
@@ -469,13 +469,23 @@ def band_span_sum_v(vol: jnp.ndarray, arm_neg: jnp.ndarray,
     return jnp.swapaxes(out, 0, 1)
 
 
-def quantize_cost(cost: jnp.ndarray) -> jnp.ndarray:
-    """cost (f32, in [0, 2]) -> round(cost * QSCALE) as bf16-exact
-    integers in [0, 254].  The quantized band engine's single lossy step."""
-    return jnp.rint(cost.astype(F32) * F32(QSCALE)).astype(BF16)
+def quantize_cost(cost: jnp.ndarray,
+                  qscale: float = QSCALE) -> jnp.ndarray:
+    """cost (f32, in [0, 2]) -> round(cost * qscale) integers: bf16 for
+    qscale <= 127 (values <= 254, bf16-exact), int16 above (the
+    band_qscale fidelity dial).  The quantized band engine's single
+    lossy step."""
+    q = jnp.rint(cost.astype(F32) * F32(qscale))
+    return q.astype(BF16) if qscale <= 127.5 else q.astype(jnp.int16)
 
 
-def agg_rescale_shifts(max_arm: int, digits: int = 2):
+def _qmax(qscale: float) -> int:
+    """Largest quantized cost value (cost <= 2.0)."""
+    return int(round(2.0 * qscale))
+
+
+def agg_rescale_shifts(max_arm: int, digits: int = 2,
+                       qscale: float = QSCALE):
     """Power-of-2 rescale shifts (s1, s2, s3: applied after passes 1, 2
     and 3) for the quantized aggregation.
 
@@ -490,14 +500,14 @@ def agg_rescale_shifts(max_arm: int, digits: int = 2):
     import math
     wmax = 2 * max_arm + 1
     bound = 32767.0 if digits == 2 else 255.0
-    v = 254
+    v = _qmax(qscale)
     shifts = []
     for _ in range(3):                       # after passes 1, 2, 3
         raw = v * wmax
         s = max(0, math.ceil(math.log2(raw / bound)))
         shifts.append(s)
         v = math.floor(raw * 2.0 ** -s + 0.5)
-    if digits == 2:
+    if digits == 2 and qscale <= QSCALE:
         assert shifts[0] == 0
     return tuple(shifts)
 
@@ -507,7 +517,8 @@ def band_aggregate_q(cost_q: jnp.ndarray, arms: jnp.ndarray, max_arm: int,
                      interpret: bool = False, rows: int = _ROWS,
                      otile: int = _LANE,
                      digits: int = 2,
-                     final_out_t: bool = False) -> jnp.ndarray:
+                     final_out_t: bool = False,
+                     qscale: float = QSCALE) -> jnp.ndarray:
     """Four-pass cross aggregation (live order H,V,V,H, d_ca_cross.cu:
     255-271) on a quantized (H, W, D) volume of integers <= 254 (see
     quantize_cost), with exact integer arithmetic throughout; `max_arm`
@@ -527,8 +538,11 @@ def band_aggregate_q(cost_q: jnp.ndarray, arms: jnp.ndarray, max_arm: int,
     way the result is bit-identical under any row chunking or sharding.
     """
     from stereo_to_multiview_tpu.ops.cross import UP, DOWN, LEFT, RIGHT
-    s1, s2, s3 = agg_rescale_shifts(max_arm, digits)
+    s1, s2, s3 = agg_rescale_shifts(max_arm, digits, qscale)
     halo = _halo_for(max_arm)
+    # pass-1 digit dots: quantized costs <= 254 are one bf16 digit; the
+    # band_qscale dial's larger values split into base-256 pairs (exact)
+    p1_terms = 1 if _qmax(qscale) <= 255 else 2
     # intermediate volumes are int16: pass-1 output <= 254*129 = 32766 and
     # the rescales keep passes 2/3 below 2^15 -- half the HBM bytes of f32.
     # Orientation rides the transposed in-kernel stores: pass 1 emits
@@ -541,8 +555,9 @@ def band_aggregate_q(cost_q: jnp.ndarray, arms: jnp.ndarray, max_arm: int,
     # XLA swapaxes between passes (those volumes are 128/D x smaller)
     out_t = cost_q.shape[-1] % 128 == 0
     kw = dict(rows=rows, otile=otile, halo=halo, interpret=interpret)
-    at = _band_pass_h(cost_q, arms[LEFT], arms[RIGHT], mode="int", terms=1,
-                      rescale=s1, out_dtype=i16, out_t=out_t, **kw)
+    at = _band_pass_h(cost_q, arms[LEFT], arms[RIGHT], mode="int",
+                      terms=p1_terms, rescale=s1, out_dtype=i16,
+                      out_t=out_t, **kw)
     if not out_t:
         at = jnp.swapaxes(at, 0, 1)
     a = _band_pass_vv(at, arms[UP].T, arms[DOWN].T, s2=s2, s3=s3,
@@ -997,11 +1012,12 @@ def band_stereo_core_chunked(img_l, img_r, arms_l, arms_r, cfg,
     # arms keep them out of every window
     ext16 = -(-ext // 16) * 16
     digits = getattr(cfg, "band_digits", 2)
+    qsc = getattr(cfg, "band_qscale", QSCALE)
 
     if cfg.use_hslo:
         from stereo_to_multiview_tpu.ops.hslokern import dc_hslo_wta_kern
         from stereo_to_multiview_tpu.ops.mux import mux_average
-        kappa = agg_cost_scale(usd, digits)
+        kappa = agg_cost_scale(usd, digits, qsc)
         gray_l = mux_average(img_l)
         gray_r = mux_average(img_r)
 
@@ -1013,7 +1029,7 @@ def band_stereo_core_chunked(img_l, img_r, arms_l, arms_r, cfg,
         c_lo = start - i0                  # cost rows inside the img slice
         cost_l, cost_r = ci_adcensus_kern_xm(
             img_l[sl_img], img_r[sl_img], cfg.ad_coeff, cfg.census_coeff,
-            cfg.num_disp, cfg.zero_disp, quant=True,
+            cfg.num_disp, cfg.zero_disp, quant=True, qscale=qsc,
             out_rows=c_lo + ext16, interpret=interpret)
 
         # per-eye aggregation: no 2x-volume eye concat (a full HBM copy);
@@ -1033,7 +1049,7 @@ def band_stereo_core_chunked(img_l, img_r, arms_l, arms_r, cfg,
                 vol = band_aggregate_q(
                     cost[c_lo:c_lo + ext16], arms16, usd,
                     digits=digits, interpret=interpret,
-                    final_out_t=True)
+                    final_out_t=True, qscale=qsc)
                 ga, gb = (gl_c, gr_c) if sign > 0 else (gr_c, gl_c)
                 disp = dc_hslo_wta_kern(
                     vol, ga, gb, cfg.num_disp, cfg.zero_disp,
@@ -1044,7 +1060,7 @@ def band_stereo_core_chunked(img_l, img_r, arms_l, arms_r, cfg,
                 disp = band_aggregate_q(
                     cost[c_lo:c_lo + ext16], arms16, usd,
                     zero_disp=cfg.zero_disp,
-                    digits=digits,
+                    digits=digits, qscale=qsc,
                     interpret=interpret)
             parts.append(disp[v])
     if len(disp_parts_l) == 1:
@@ -1197,10 +1213,11 @@ def dr_irv_band(disp: jnp.ndarray, outliers: jnp.ndarray, arms: jnp.ndarray,
     return jax.lax.fori_loop(0, iterations, one_iter, (disp, outliers))
 
 
-def agg_cost_scale(max_arm: int, digits: int = 2) -> float:
+def agg_cost_scale(max_arm: int, digits: int = 2,
+                   qscale: float = QSCALE) -> float:
     """Cost-unit scale of the quantized aggregate: band_aggregate_q's
-    output ~= reference f32 aggregate * QSCALE / 2^(s1+s2+s3).  Additive
+    output ~= reference f32 aggregate * qscale / 2^(s1+s2+s3).  Additive
     terms applied to the aggregated volume (e.g. HSLO penalties) multiply
     by this factor to keep their reference strength."""
-    s1, s2, s3 = agg_rescale_shifts(max_arm, digits)
-    return QSCALE / float(2 ** (s1 + s2 + s3))
+    s1, s2, s3 = agg_rescale_shifts(max_arm, digits, qscale)
+    return qscale / float(2 ** (s1 + s2 + s3))

@@ -278,7 +278,8 @@ _YL = 128    # image rows per grid step (lane axis)
 
 def _cost_kernel_xm(*refs, num_disp: int, zero_disp: int, sign: int,
                     inv_ad: float, inv_cen: float, quant: bool,
-                    fast_exp: bool = False, ablate_exp: bool = False):
+                    fast_exp: bool = False, ablate_exp: bool = False,
+                    qscale: float = _QSCALE):
     """One (128-x, 128-row) step for ONE eye.  refs: own b/g/r + census
     w0/w1 center blocks (5 x (XT, YL) i32), then the other eye's 5 planes
     as 3 consecutive x-blocks each (15 refs); out (D, XT, YL).
@@ -308,7 +309,7 @@ def _cost_kernel_xm(*refs, num_disp: int, zero_disp: int, sign: int,
             cost = ((F32(1.0) - jnp.exp(-(ad.astype(F32) * third) * inv_ad))
                     + (F32(1.0) - jnp.exp(-ham.astype(F32) * inv_cen)))
         if quant:
-            cost = jnp.rint(cost * F32(_QSCALE))
+            cost = jnp.rint(cost * F32(qscale))
             out_ref[d] = cost.astype(jnp.int32).astype(out_ref.dtype)
         else:
             out_ref[d] = cost.astype(out_ref.dtype)
@@ -360,12 +361,14 @@ def _shear_kernel_xm(r0, r1, r2, out_ref, *, num_disp: int,
                                              "ad_coeff", "census_coeff",
                                              "quant", "out_rows",
                                              "shear", "fast_exp",
-                                             "ablate_exp", "interpret"))
+                                             "ablate_exp", "qscale",
+                                             "interpret"))
 def ci_adcensus_kern_xm(img_l: jnp.ndarray, img_r: jnp.ndarray,
                         ad_coeff: float, census_coeff: float,
                         num_disp: int, zero_disp: int, quant: bool = True,
                         out_rows: int | None = None, shear: bool = True,
                         fast_exp: bool = False, ablate_exp: bool = False,
+                        qscale: float = _QSCALE,
                         interpret: bool = False):
     """(H, W, 3) u8 pair -> ((H, W, D), (H, W, D)) cost volumes via the
     x-major kernel -- bit-identical to ci_adcensus_kern (same integer
@@ -402,14 +405,19 @@ def ci_adcensus_kern_xm(img_l: jnp.ndarray, img_r: jnp.ndarray,
             raise ValueError("out_rows exceeds the kernel's padded height")
         h = out_rows
     args = _cost_planes_xm(img_l, img_r, img_l.shape[0], w, hp, wp)
-    fast_exp = _resolve_fast_exp(quant, fast_exp, ad_coeff, census_coeff)
+    # the fast-exp zero-flip proof is established at qscale 127 only
+    fast_exp = (qscale == _QSCALE
+                and _resolve_fast_exp(quant, fast_exp, ad_coeff,
+                                      census_coeff))
 
     own_spec = pl.BlockSpec((_XT, _YL), lambda x, y: (x + 1, y),
                             memory_space=pltpu.VMEM)
     oth_specs = [pl.BlockSpec((_XT, _YL), lambda x, y, d=d: (x + d, y),
                               memory_space=pltpu.VMEM)
                  for d in range(3)]
-    out_dt = jnp.uint8 if quant else jnp.float32
+    # band_qscale dial: quantized values above 255 need int16 volumes
+    out_dt = ((jnp.uint8 if round(2 * qscale) <= 255 else jnp.int16)
+              if quant else jnp.float32)
     shear = shear and max(zero_disp, num_disp - zero_disp) <= _XT // 2
 
     if shear:
@@ -432,7 +440,7 @@ def ci_adcensus_kern_xm(img_l: jnp.ndarray, img_r: jnp.ndarray,
                               inv_ad=float(1.0 / ad_coeff),
                               inv_cen=float(1.0 / census_coeff),
                               quant=quant, fast_exp=fast_exp,
-                              ablate_exp=ablate_exp),
+                              ablate_exp=ablate_exp, qscale=qscale),
             grid=(wpe // _XT, hp // _YL),
             in_specs=in_specs,
             out_specs=pl.BlockSpec((num_disp, _XT, _YL),
@@ -481,7 +489,7 @@ def ci_adcensus_kern_xm(img_l: jnp.ndarray, img_r: jnp.ndarray,
                               inv_ad=float(1.0 / ad_coeff),
                               inv_cen=float(1.0 / census_coeff),
                               quant=quant, fast_exp=fast_exp,
-                              ablate_exp=ablate_exp),
+                              ablate_exp=ablate_exp, qscale=qscale),
             grid=grid,
             in_specs=in_specs,
             out_specs=out_spec,

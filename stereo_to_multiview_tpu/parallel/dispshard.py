@@ -122,9 +122,10 @@ def disp_sharded_disparities(mesh: Mesh, cfg: PipelineConfig,
             from stereo_to_multiview_tpu.ops.band import (
                 band_aggregate_q, quantize_cost)
             digits = getattr(cfg, "band_digits", 2)
+            qsc = getattr(cfg, "band_qscale", 127.0)
             agg = lambda cost, arms: jnp.moveaxis(band_aggregate_q(
-                quantize_cost(jnp.moveaxis(cost, 0, 2)), arms, usd,
-                digits=digits, interpret=interpret), 2, 0)
+                quantize_cost(jnp.moveaxis(cost, 0, 2), qsc), arms, usd,
+                digits=digits, qscale=qsc, interpret=interpret), 2, 0)
             acost_l = agg(cost_l, arms_l)
             acost_r = agg(cost_r, arms_r)
         else:
@@ -159,7 +160,8 @@ def disp_sharded_disparities(mesh: Mesh, cfg: PipelineConfig,
                              "num_rows divisible by the mesh")
         if band:
             from stereo_to_multiview_tpu.ops.band import agg_cost_scale
-            kq = agg_cost_scale(usd, getattr(cfg, "band_digits", 2))
+            kq = agg_cost_scale(usd, getattr(cfg, "band_digits", 2),
+                                getattr(cfg, "band_qscale", 127.0))
         else:
             kq = cfg.xla_agg_qscale if cfg.xla_agg_qscale > 0 else 1.0
         hloc = h // n

@@ -202,6 +202,42 @@ def test_ci_adcensus_kern_xm_matches_row_major(stereo_pair):
         np.testing.assert_array_equal(_np(ref_r), _np(out_r))
 
 
+def test_band_qscale_dial(stereo_pair):
+    """The band_qscale fidelity dial (VERDICT r4 item 5): at qscale 510
+    the int16-volume path must (a) stay bit-exact under row chunking
+    (exact integer aggregation at any qscale) and (b) track the f32
+    golden aggregation at least as well as the default 127 path on the
+    real fixture crop."""
+    from stereo_to_multiview_tpu.config import PipelineConfig
+    from stereo_to_multiview_tpu.ops.band import band_stereo_core_chunked
+    left, right = stereo_pair
+    h, w = left.shape[:2]
+    base = dict(num_rows=h, num_cols=w, num_rows_out=h, num_cols_out=w,
+                num_disp=12, zero_disp=6, usd=5, lsd=2, num_views=4)
+    l, r = jnp.asarray(left), jnp.asarray(right)
+    arms_l = ops.cross_arms(l, 6.0, 20.0, 5, 2)
+    arms_r = ops.cross_arms(r, 6.0, 20.0, 5, 2)
+
+    # golden: f32 cost + f32 aggregation + first-min WTA (xla path)
+    from stereo_to_multiview_tpu.ops.cost import ci_adcensus_hwd
+    cl, cr = ci_adcensus_hwd(l, r, 10.0, 30.0, 12, 6)
+    gl = ops.dc_wta(jnp.moveaxis(ops.cross_aggregate(
+        jnp.moveaxis(cl, 2, 0), arms_l, max_arm=5), 0, 2)
+        .transpose(2, 0, 1), 6)
+
+    outs = {}
+    for q in (127.0, 510.0):
+        cfg = PipelineConfig(engine="band", band_qscale=q, **base)
+        dl, _ = band_stereo_core_chunked(l, r, arms_l, arms_r, cfg,
+                                         interpret=True)
+        cfg_c = cfg.replace(band_row_chunk=8)
+        dl_c, _ = band_stereo_core_chunked(l, r, arms_l, arms_r, cfg_c,
+                                           interpret=True)
+        np.testing.assert_array_equal(_np(dl), _np(dl_c))
+        outs[q] = np.mean(np.abs(_np(dl) - _np(gl)) > 1.0)
+    assert outs[510.0] <= outs[127.0]
+
+
 def test_chunked_core_matches_unchunked(stereo_pair):
     """Row-chunked stereo core vs whole-frame: bit-exact.  The quantized
     aggregation is exact integer arithmetic, so the V-pass tile origin
