@@ -4,7 +4,7 @@ The lax.scan formulation (ops/hslo.py) measured 275 ms/frame at
 1080p/D=128: it materializes two (H, W, D) f32 penalty volumes, pays
 (W, H, D) relayouts for every operand of both scan directions, and
 round-trips each direction's output through HBM.  This kernel streams
-8-row blocks of the W-MAJOR volume (the band aggregation emits that
+row blocks of the W-MAJOR volume (the band aggregation emits that
 orientation for free via its transposed in-kernel stores): both DP
 directions run as dynamic-bound fori_loops with an (8, D) carry and
 per-column major-dim slices (Mosaic allows arbitrary dynamic indices
@@ -33,37 +33,48 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 F32 = jnp.float32
-_ROWS = 16   # image rows per grid step: the DP's per-column carry chain
-             # is serial (latency-bound), so wider blocks amortize it --
-             # but the volume block is int32 (pass-4 aggregates exceed
-             # int16) and 32-row i32 blocks overflow the VMEM budget
 _GRP = 8     # columns per aligned output store group
 BIG = 1e30
+_VMEM_BUDGET = 112 * 1024 * 1024
+
+
+def _pick_rows(wp: int, d: int, vol_itemsize: int) -> int:
+    """Image rows per grid step.  The DP's per-column carry chain is
+    serial (latency-bound), so wider blocks amortize it: 8-row blocks
+    measured 157 ms at 1080p, 16-row 109, 32-row halves the chain count
+    again.  Rows are DP-independent, so the block height never changes
+    the result -- only whether the step's VMEM (double-buffered vol +
+    tier blocks plus the fwd scratch) fits the v5e's 128 MB."""
+    per_cell = 2 * vol_itemsize + 2 * 1 + 4
+    for rows in (32, 16, 8):
+        if wp * rows * d * per_cell <= _VMEM_BUDGET:
+            return rows
+    return 8
 
 
 def _hslo_kernel(vol_ref, tier_ref, out_ref, fwd_ref, *, w: int,
-                 h1: float, h2: float, zero_disp: int):
-    """One 8-row step over a W-major block.
+                 rows: int, h1: float, h2: float, zero_disp: int):
+    """One `rows`-row step over a W-major block.
 
-    vol: (W, 8, D) aggregated costs (any exact dtype; converted on
-    load); tier: (W, 8, D) i8 in {0,1,2} (count of small gradients;
-    penalty scales 0.1 / 0.25 / 1.0); fwd scratch (W, 8, D) f32;
-    out (1, W, 8) f32 -- this step's disparity page (an 8-lane block
+    vol: (W, rows, D) aggregated costs (any exact dtype; converted on
+    load); tier: (W, rows, D) i8 in {0,1,2} (count of small gradients;
+    penalty scales 0.1 / 0.25 / 1.0); fwd scratch (W, rows, D) f32;
+    out (1, W, rows) f32 -- this step's disparity page (a lane block
     is legal only when it spans the full array dim, hence one page per
     grid step; the caller reshapes the 16 MB map).
     """
     d = vol_ref.shape[2]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, d), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, d), 1)
     first = lane == 0
     last = lane == d - 1
-    big = jnp.full((_ROWS, d), F32(BIG))
+    big = jnp.full((rows, d), F32(BIG))
 
     def col(x):
-        return vol_ref[pl.ds(x, 1)].reshape(_ROWS, d).astype(F32)
+        return vol_ref[pl.ds(x, 1)].reshape(rows, d).astype(F32)
 
     def penalties(x):
         # tier rides HBM as int8; no direct i8->f32 cast in Mosaic
-        t = (tier_ref[pl.ds(x, 1)].reshape(_ROWS, d)
+        t = (tier_ref[pl.ds(x, 1)].reshape(rows, d)
              .astype(jnp.int32).astype(F32))
         s = jnp.where(t == F32(2.0), F32(1.0),
                       jnp.where(t == F32(1.0), F32(0.25), F32(0.1)))
@@ -96,7 +107,7 @@ def _hslo_kernel(vol_ref, tier_ref, out_ref, fwd_ref, *, w: int,
             x = g * _GRP + j
             p1, p2 = penalties(x)
             prev = step(prev, col(x), p1, p2)
-            a = (fwd_ref[pl.ds(x, 1)].reshape(_ROWS, d) + prev) * F32(0.5)
+            a = (fwd_ref[pl.ds(x, 1)].reshape(rows, d) + prev) * F32(0.5)
             am = jnp.argmin(a, axis=1).astype(jnp.int32)
             tiles.append(((am - zero_disp).astype(F32))[None, :])
         out_ref[0, pl.ds(pl.multiple_of(g * _GRP, _GRP), _GRP), :] = \
@@ -148,8 +159,9 @@ def dc_hslo_wta_kern(vol_whd: jnp.ndarray, gray_a: jnp.ndarray,
     H1/H2 must already be in the volume's cost units (the band engine
     scales by ops.band.agg_cost_scale)."""
     w, h, d = vol_whd.shape
-    hp = -(-h // _ROWS) * _ROWS
     wp = -(-w // _GRP) * _GRP
+    rows = _pick_rows(wp, d, vol_whd.dtype.itemsize)
+    hp = -(-h // rows) * rows
     tier = _tier_volume_whd(gray_a, gray_b, num_disp, zero_disp, T, sign)
     # zero-cost padded columns are NEUTRAL: the forward pass only sees
     # them after the real data, and in the backward pass the first pad
@@ -160,21 +172,21 @@ def dc_hslo_wta_kern(vol_whd: jnp.ndarray, gray_a: jnp.ndarray,
     tierp = jnp.pad(tier, ((0, wp - w), (0, hp - h), (0, 0)))
 
     out = pl.pallas_call(
-        functools.partial(_hslo_kernel, w=wp, h1=float(H1), h2=float(H2),
-                          zero_disp=zero_disp),
-        grid=(hp // _ROWS,),
-        in_specs=[pl.BlockSpec((wp, _ROWS, d), lambda y: (0, y, 0),
+        functools.partial(_hslo_kernel, w=wp, rows=rows, h1=float(H1),
+                          h2=float(H2), zero_disp=zero_disp),
+        grid=(hp // rows,),
+        in_specs=[pl.BlockSpec((wp, rows, d), lambda y: (0, y, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((wp, _ROWS, d), lambda y: (0, y, 0),
+                  pl.BlockSpec((wp, rows, d), lambda y: (0, y, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, wp, _ROWS), lambda y: (y, 0, 0),
+        out_specs=pl.BlockSpec((1, wp, rows), lambda y: (y, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((hp // _ROWS, wp, _ROWS),
+        out_shape=jax.ShapeDtypeStruct((hp // rows, wp, rows),
                                        jnp.float32),
-        scratch_shapes=[pltpu.VMEM((wp, _ROWS, d), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((wp, rows, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(volp, tierp)
     return out.transpose(0, 2, 1).reshape(hp, wp)[:h, :w]
