@@ -50,6 +50,16 @@ def build_parser():
                         "unauthenticated and stalls the stream)")
     p.add_argument("--lowres", type=str, default=None, metavar="RxC:SCALE",
                    help="adcensus_stm_2 mode, e.g. 192x320:1.0")
+    p.add_argument("--depth", type=int, default=1,
+                   help="frames in flight on the device: 1 = serial "
+                        "latency loop (reference shape); >=2 pipelines "
+                        "uploads/fetches against compute and the printed "
+                        "per-frame time becomes steady-state throughput")
+    p.add_argument("--readback", choices=("full", "sync"), default="full",
+                   help="full = fetch every interlaced frame to the host "
+                        "(reference display-loop shape); sync = force "
+                        "completion only, frames stay on device (a "
+                        "device-resident display/encode consumer)")
     p.add_argument("--cpu", action="store_true")
     return p
 
@@ -151,7 +161,8 @@ def main(argv=None):
             for cb in callbacks:
                 cb(i, dl, dr, il)
 
-    stats = stream(src, cfg, lowres=lowres, on_frame=on_frame)
+    stats = stream(src, cfg, lowres=lowres, on_frame=on_frame,
+                   depth=args.depth, readback=args.readback)
     print(f"\nsteady-state: {stats}")
     return 0
 

@@ -61,6 +61,17 @@ def main():
             fl = float(np.mean(np.abs(dl - ref_l) > 1.0))
             fr = float(np.mean(np.abs(dr - ref_r) > 1.0))
             print(f"  q={q:7.0f}: {fl:.4f} / {fr:.4f}", flush=True)
+        # the real fidelity lever: 3 digit planes raise the per-pass
+        # precision bound from 2^15 to (2^24-1)/wmax (the qscale sweep
+        # above is flat because the rescale shifts grow with qscale)
+        for q in (127.0, 510.0, 2040.0):
+            cfg = base.replace(engine="band", band_qscale=q,
+                               band_digits=3)
+            dl, dr = disp(cfg, l, r)
+            fl = float(np.mean(np.abs(dl - ref_l) > 1.0))
+            fr = float(np.mean(np.abs(dr - ref_r) > 1.0))
+            print(f"  q={q:7.0f} digits=3: {fl:.4f} / {fr:.4f}",
+                  flush=True)
 
 
 if __name__ == "__main__":

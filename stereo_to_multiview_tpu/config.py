@@ -73,7 +73,12 @@ class PipelineConfig:
                                  # base-256 pairs; 1 = single-digit fast
                                  # path (one MXU dot per pass, ~4 bits of
                                  # aggregate precision lost per rescale --
-                                 # WTA flips only at near-ties)
+                                 # WTA flips only at near-ties); 3 = the
+                                 # high-fidelity dial (~17-18 bits kept
+                                 # per pass vs 15; pair with band_qscale
+                                 # >= 510 -- the r5 sweep showed qscale
+                                 # alone cannot move the residual, the
+                                 # per-pass digit bound can)
     band_qscale: float = 127.0   # band-engine cost quantization scale
                                  # (q = rint(cost * qscale), cost <= 2).
                                  # 127 (default): u8 volumes, the r2-r4

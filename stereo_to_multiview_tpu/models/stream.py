@@ -226,11 +226,29 @@ class PrefetchingSource:
 
 def stream(source, cfg: PipelineConfig, lowres: bool = False,
            on_frame=None, prefetch: int = 4, verbose: bool = True,
-           max_consecutive_failures: int = 3):
+           max_consecutive_failures: int = 3, depth: int = 1,
+           readback: str = "full"):
     """Run the fused pipeline over a frame stream.  Returns FrameMeter stats.
 
     on_frame(i, disp_l, disp_r, interlaced) is called with device arrays --
     fetch with np.asarray only if you need host data (it synchronizes).
+
+    depth: frames in flight on the device.  1 (default) = the reference's
+    serial loop shape (upload -> compute -> fetch per frame; the metered
+    time is true per-frame latency).  depth >= 2 pipelines: frame i+1's
+    upload+compute is dispatched (JAX async) before frame i's result is
+    fetched, overlapping host<->device transfers with compute -- the
+    metered time is then the completion-to-completion delta, i.e.
+    steady-state THROUGHPUT per frame, not latency.
+
+    readback: "full" fetches the whole interlaced frame to the host per
+    frame (the reference display loop's shape, video_io.cpp:167-170);
+    "sync" forces completion with a tiny corner fetch and leaves the
+    frames on device (a device-resident consumer -- display/encode fed
+    from HBM).  Through the axon relay the full 1080p readback alone
+    costs ~30 ms + size/20 MB/s (measured r5), which buries the compute;
+    on directly-attached hardware D2H is ~3 orders faster and the two
+    modes converge.
 
     Failure policy (SURVEY.md section 5): the reference exits the process
     on any CUDA error (cuda_utils.h:19) but silently loops past video read
@@ -248,14 +266,46 @@ def stream(source, cfg: PipelineConfig, lowres: bool = False,
     src = PrefetchingSource(source, prefetch) if prefetch else source
 
     import time as _time
+    from collections import deque
     failures = 0
+    inflight = deque()          # (index, t_dispatch, out) awaiting fetch
+    last_done = None
+
+    def _finish(j, t0, out):
+        """Fetch frame j's result and meter it.  May raise (device
+        errors belong to the failure policy)."""
+        nonlocal last_done
+        if readback == "full":
+            np.asarray(out[2])          # whole interlaced frame to host
+        else:
+            np.asarray(out[2][:8, :8])  # completion probe only
+        now = _time.perf_counter()
+        # depth 1: time directly around upload+compute+fetch, so consumer
+        # callback time (PNG dumps, a paused preview's wait) never
+        # pollutes fps/ms_max stats (ADVICE r4).  Pipelined: completion
+        # deltas (callbacks DO land in the delta -- run bare for records).
+        dt = (now - t0) if depth <= 1 or last_done is None \
+            else (now - last_done)
+        last_done = now
+        meter.add(dt)
+        if verbose and meter.times:
+            print(f"[[ frame {j} took: {meter.times[-1]*1e3:.1f} ms ]]")
+        return j, out
+
+    def _emit(done):
+        if done is not None and on_frame is not None:
+            # outside the failure policy: a consumer bug is the caller's
+            # error and must propagate, not count as a bad frame
+            on_frame(done[0], *done[1])
+
     for i, sbs in enumerate(src):
         try:
             t0 = _time.perf_counter()
-            out = fn(jax.device_put(sbs), cfg)
-            # force completion for honest per-frame timing
-            np.asarray(out[2])
-            dt = _time.perf_counter() - t0
+            out = fn(jax.device_put(sbs), cfg)   # async dispatch
+            inflight.append((i, t0, out))
+            done = None
+            if len(inflight) >= max(1, depth):
+                done = _finish(*inflight.popleft())
         except Exception as e:  # noqa: BLE001 -- stream must survive a frame
             failures += 1
             print(f"[[ frame {i} FAILED: {type(e).__name__}: {e} ]]")
@@ -263,16 +313,7 @@ def stream(source, cfg: PipelineConfig, lowres: bool = False,
                 raise
             continue
         failures = 0
-        # the frame time is measured directly around upload+compute+fetch
-        # (meter.add), so consumer-callback time (PNG dumps, a paused
-        # preview's wait) never pollutes fps/ms_max stats (ADVICE r4)
-        meter.add(dt)
-        if verbose:
-            ts = meter.times
-            if ts:
-                print(f"[[ frame {i} took: {ts[-1]*1e3:.1f} ms ]]")
-        if on_frame is not None:
-            # outside the failure policy: a consumer bug is the caller's
-            # error and must propagate, not count as a bad frame
-            on_frame(i, *out)
+        _emit(done)
+    for item in inflight:
+        _emit(_finish(*item))
     return meter.stats()

@@ -139,10 +139,18 @@ def _tiles_for(w: int, otile: int, halo: int):
     return tuple(tiles)
 
 
-def _res_kernel(an_ref, ap_ref, vol_ref, out_ref, *, inclusive: bool,
+def _split256(y):
+    """Exact base-256 bf16 digit pair of a non-negative integer-valued
+    f32 array < 2^16 (hi <= 255, lo < 256: both bf16-exact)."""
+    hi = jnp.floor(y * F32(1.0 / 256.0))
+    lo = y - hi * F32(256.0)
+    return lo.astype(BF16), hi.astype(BF16)
+
+
+def _res_kernel(an_ref, ap_ref, *refs, inclusive: bool,
                 mode: str, terms: int, rescale: int, wta: bool,
                 zero_disp: int, tiles: tuple, rows: int, halo: int,
-                out_t: bool):
+                out_t: bool, in_digits: bool, out_digits: bool):
     """One `rows`-row grid step over the whole width.
 
     an/ap: (rows, W) i32 arms in natural layout.
@@ -156,7 +164,18 @@ def _res_kernel(an_ref, ap_ref, vol_ref, out_ref, *, inclusive: bool,
     256-wide tiles halve the per-unit instruction stream (the measured
     bottleneck -- the kernel is issue-bound, not MXU- or DMA-bound, at
     128).
+
+    in_digits: the volume arrives as TWO bf16 refs holding exact base-256
+    digits -- the window loads feed the MXU directly with ZERO per-window
+    convert/split ops (the splits were the kernels' largest VPU term at
+    1.625x window redundancy; r5).  out_digits stores the pair the same
+    way for the next pass.
     """
+    if in_digits:
+        vlo_ref, vhi_ref, *orefs = refs
+    else:
+        vol_ref, *orefs = refs
+
     roffs = {}
     for _, width, _, _ in tiles:
         if width not in roffs:
@@ -176,9 +195,14 @@ def _res_kernel(an_ref, ap_ref, vol_ref, out_ref, *, inclusive: bool,
             an = an_all[a0:a0 + width, r:r + 1]      # (width, 1)
             ap = ap_all[a0:a0 + width, r:r + 1]
             a = _band01(roff, an, ap, inclusive)[:, lo:win - hi]
-            x = vol_ref[r, a0 - halo + lo:a0 + width + halo - hi, :]
+            sl = (r, slice(a0 - halo + lo, a0 + width + halo - hi),
+                  slice(None))
+            if in_digits:
+                parts = [(vlo_ref[sl], None), (vhi_ref[sl], F32(256.0))]
+            else:
+                parts = _terms(vol_ref[sl], mode, terms)
             y = None
-            for part, scale in _terms(x, mode, terms):
+            for part, scale in parts:
                 dot = jnp.dot(a, part, preferred_element_type=F32)
                 if scale is not None:
                     dot = dot * scale
@@ -199,23 +223,30 @@ def _res_kernel(an_ref, ap_ref, vol_ref, out_ref, *, inclusive: bool,
                 # sharding determinism is unaffected (same backend ==
                 # same tie choice).
                 am = jnp.argmin(y, axis=1).astype(jnp.int32)
-                out_ref[r, a0:a0 + width] = (am - zero_disp).astype(F32)
+                orefs[0][r, a0:a0 + width] = (am - zero_disp).astype(F32)
+            elif out_digits:
+                lo_d, hi_d = _split256(y)
+                osl = ((slice(a0, a0 + width), r, slice(None)) if out_t
+                       else (r, slice(a0, a0 + width), slice(None)))
+                orefs[0][osl] = lo_d
+                orefs[1][osl] = hi_d
             elif out_t:
-                out_ref[a0:a0 + width, r, :] = y.astype(out_ref.dtype)
+                orefs[0][a0:a0 + width, r, :] = y.astype(orefs[0].dtype)
             else:
-                out_ref[r, a0:a0 + width, :] = y.astype(out_ref.dtype)
+                orefs[0][r, a0:a0 + width, :] = y.astype(orefs[0].dtype)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "inclusive", "mode", "terms", "rescale", "wta", "zero_disp", "rows",
-    "otile", "out_dtype", "halo", "out_t", "interpret"))
-def _band_pass_h(vol: jnp.ndarray, arm_neg: jnp.ndarray,
+    "otile", "out_dtype", "halo", "out_t", "out_digits", "interpret"))
+def _band_pass_h(vol, arm_neg: jnp.ndarray,
                  arm_pos: jnp.ndarray, *, inclusive: bool = False,
                  mode: str = "float", terms: int = 2, rescale: int = 0,
                  wta: bool = False, zero_disp: int = 0, rows: int = _ROWS,
                  otile: int = _LANE, out_dtype=jnp.float32,
                  halo: int = _HALO, out_t: bool = False,
-                 interpret: bool = False) -> jnp.ndarray:
+                 out_digits: bool = False,
+                 interpret: bool = False):
     """Windowed sum along axis 1 of a (H, W, D) volume (see _res_kernel).
     out_dtype int16 is valid when every output fits in [-32768, 32767]
     (the quantized pipeline's rescales guarantee it) and halves the HBM
@@ -225,15 +256,24 @@ def _band_pass_h(vol: jnp.ndarray, arm_neg: jnp.ndarray,
     stores -- the next (vertical) pass reads it directly, with no
     full-volume XLA relayout.
 
+    `vol` may be a (lo, hi) TUPLE of bf16 base-256 digit volumes (the
+    pre-split inter-pass format, r5): the window loads then feed the MXU
+    with no per-window convert/split work.  out_digits=True returns such
+    a pair (valid when every output is a non-negative integer < 2^16 --
+    the quantized rescales guarantee < 2^15).
+
     The volume is read UNPADDED when H is a `rows`-multiple and W is an
     8-multiple (every shipping config); otherwise a one-off pad copy
     aligns it."""
-    h0, w0, d = vol.shape
+    in_digits = isinstance(vol, (tuple, list))
+    vols = list(vol) if in_digits else [vol]
+    h0, w0, d = vols[0].shape
     h, w = h0, w0
     if h % rows or w % 8:
         hp = -(-h // rows) * rows
         wp = -(-w // 8) * 8
-        vol = jnp.pad(vol, ((0, hp - h), (0, wp - w), (0, 0)))
+        vols = [jnp.pad(v, ((0, hp - h), (0, wp - w), (0, 0)))
+                for v in vols]
         zpad = ((0, hp - h), (0, wp - w))
         arm_neg = jnp.pad(arm_neg.astype(jnp.int32), zpad)
         arm_pos = jnp.pad(arm_pos.astype(jnp.int32), zpad)
@@ -254,36 +294,42 @@ def _band_pass_h(vol: jnp.ndarray, arm_neg: jnp.ndarray,
     elif out_t:
         out_spec = pl.BlockSpec((w, rows, d), lambda y: (0, y, 0),
                                 memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((w, h, d), out_dtype)
+        out_shape = jax.ShapeDtypeStruct((w, h, d),
+                                         BF16 if out_digits else out_dtype)
     else:
         out_spec = pl.BlockSpec((rows, w, d), lambda y: (y, 0, 0),
                                 memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((h, w, d), out_dtype)
+        out_shape = jax.ShapeDtypeStruct((h, w, d),
+                                         BF16 if out_digits else out_dtype)
+    nouts = 2 if out_digits else 1
 
     out = pl.pallas_call(
         functools.partial(_res_kernel, inclusive=inclusive, mode=mode,
                           terms=terms, rescale=rescale, wta=wta,
                           zero_disp=zero_disp, tiles=tiles, rows=rows,
-                          halo=halo, out_t=out_t),
+                          halo=halo, out_t=out_t, in_digits=in_digits,
+                          out_digits=out_digits),
         grid=(h // rows,),
-        in_specs=[arm_spec, arm_spec, vol_spec],
-        out_specs=out_spec,
-        out_shape=out_shape,
+        in_specs=[arm_spec, arm_spec] + [vol_spec] * len(vols),
+        out_specs=[out_spec] * nouts if out_digits else out_spec,
+        out_shape=[out_shape] * nouts if out_digits else out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(an_n, ap_n, vol)
-    if (h, w) == (h0, w0):
-        return out                       # aligned: no crop copy
-    if wta:
-        return out[:h0, :w0]
-    return out[:w0, :h0] if out_t else out[:h0, :w0]
+    )(an_n, ap_n, *vols)
+    outs = list(out) if out_digits else [out]
+    if (h, w) != (h0, w0):
+        if wta:
+            outs = [o[:h0, :w0] for o in outs]
+        else:
+            outs = [o[:w0, :h0] if out_t else o[:h0, :w0] for o in outs]
+    return tuple(outs) if out_digits else outs[0]
 
 
-def _vv_kernel(an_ref, ap_ref, vol_ref, out_ref, *scratch, s2: int,
+def _vv_kernel(an_ref, ap_ref, *refs, s2: int,
                s3: int, tiles: tuple, rows: int, halo: int, digits: int,
-               out_t: bool):
+               out_t: bool, in_digits: bool, out_digits: bool):
     """Fused passes 2+3 (the two V-passes share one window axis and one
     arm pair): pass-2 sums from the int16 volume, rescale by 2^-s2, split
     into base-256 bf16 digits held in VMEM scratch, pass-3 sums from the
@@ -306,7 +352,18 @@ def _vv_kernel(an_ref, ap_ref, vol_ref, out_ref, *scratch, s2: int,
     vol is UNPADDED (pass-2 windows trim to the array bounds, see
     _tiles_for); scratch: `digits` planes of (rows, L + 2*halo, D) bf16
     with zero halo strips, so pass 3 reads untrimmed windows.  out_t
-    stores (L, rows, D) -- pass 4 then reads (H, W, D) directly."""
+    stores (L, rows, D) -- pass 4 then reads (H, W, D) directly.
+
+    in_digits / out_digits: pre-split bf16 base-256 digit pairs on the
+    HBM side (see _res_kernel), killing pass-2's per-window split ops
+    and pass-4's downstream ones."""
+    if in_digits:
+        vlo_ref, vhi_ref, *orefs = refs
+    else:
+        vol_ref, *orefs = refs
+    nscr = digits
+    scratch = orefs[len(orefs) - nscr:]
+    orefs = orefs[:len(orefs) - nscr]
     roffs = {}
     for _, width, _, _ in tiles:
         if width not in roffs:
@@ -317,7 +374,6 @@ def _vv_kernel(an_ref, ap_ref, vol_ref, out_ref, *scratch, s2: int,
             roffs[width] = i - halo - o
 
     lo_ref = scratch[0]
-    hi_ref = scratch[1] if digits == 2 else None
 
     an_all = an_ref[:].T
     ap_all = ap_ref[:].T
@@ -331,35 +387,48 @@ def _vv_kernel(an_ref, ap_ref, vol_ref, out_ref, *scratch, s2: int,
 
     def pass2(a0, width, band, lo_t, hi_t, r):
         win = width + 2 * halo
-        x = vol_ref[r, a0 - halo + lo_t:a0 + width + halo - hi_t, :]
+        sl = (r, slice(a0 - halo + lo_t, a0 + width + halo - hi_t),
+              slice(None))
+        if in_digits:
+            parts = [(vlo_ref[sl], None), (vhi_ref[sl], F32(256.0))]
+        else:
+            parts = _terms(vol_ref[sl], "int", digits)
         y = None
-        for part, scale in _terms(x, "int", digits):
+        for part, scale in parts:
             dot = jnp.dot(band[:, lo_t:win - hi_t], part,
                           preferred_element_type=F32)
             if scale is not None:
                 dot = dot * scale
             y = dot if y is None else y + dot
         y = jnp.floor(y * F32(2.0 ** -s2) + F32(0.5))
-        if digits == 2:
-            hi = jnp.floor(y * F32(1.0 / 256.0))
-            lo = y - hi * F32(256.0)
-            hi_ref[r, halo + a0:halo + a0 + width, :] = hi.astype(BF16)
-        else:
-            lo = y
-        lo_ref[r, halo + a0:halo + a0 + width, :] = lo.astype(BF16)
+        # base-256 digit planes into scratch (1, 2 or 3 -- exact for
+        # values < 256^digits)
+        rem = y
+        for k in range(digits - 1, 0, -1):
+            base = F32(float(256 ** k))
+            dig = jnp.floor(rem * (F32(1.0) / base))
+            rem = rem - dig * base
+            scratch[k][r, halo + a0:halo + a0 + width, :] = \
+                dig.astype(BF16)
+        lo_ref[r, halo + a0:halo + a0 + width, :] = rem.astype(BF16)
 
     def pass3(a0, width, band, r):
-        lo = lo_ref[r, a0:a0 + width + 2 * halo, :]
-        y = jnp.dot(band, lo, preferred_element_type=F32)
-        if digits == 2:
-            hi = hi_ref[r, a0:a0 + width + 2 * halo, :]
-            y = y + jnp.dot(band, hi, preferred_element_type=F32) \
-                * F32(256.0)
+        y = None
+        for k, ref in enumerate(scratch):
+            part = ref[r, a0:a0 + width + 2 * halo, :]
+            dot = jnp.dot(band, part, preferred_element_type=F32)
+            if k:
+                dot = dot * F32(float(256 ** k))
+            y = dot if y is None else y + dot
         y = jnp.floor(y * F32(2.0 ** -s3) + F32(0.5))
-        if out_t:
-            out_ref[a0:a0 + width, r, :] = y.astype(out_ref.dtype)
+        osl = ((slice(a0, a0 + width), r, slice(None)) if out_t
+               else (r, slice(a0, a0 + width), slice(None)))
+        if out_digits:
+            lo_d, hi_d = _split256(y)
+            orefs[0][osl] = lo_d
+            orefs[1][osl] = hi_d
         else:
-            out_ref[r, a0:a0 + width, :] = y.astype(out_ref.dtype)
+            orefs[0][osl] = y.astype(orefs[0].dtype)
 
     for r in range(rows):
         prev = None                    # (a0, width, band) awaiting pass 3
@@ -377,23 +446,29 @@ def _vv_kernel(an_ref, ap_ref, vol_ref, out_ref, *scratch, s2: int,
 
 @functools.partial(jax.jit, static_argnames=("s2", "s3", "rows", "otile",
                                              "halo", "digits", "out_t",
-                                             "interpret"))
-def _band_pass_vv(vol: jnp.ndarray, arm_neg: jnp.ndarray,
+                                             "out_digits", "interpret"))
+def _band_pass_vv(vol, arm_neg: jnp.ndarray,
                   arm_pos: jnp.ndarray, *, s2: int, s3: int,
                   rows: int = _ROWS, otile: int = _LANE,
                   halo: int = _HALO, digits: int = 2, out_t: bool = False,
-                  interpret: bool = False) -> jnp.ndarray:
+                  out_digits: bool = False,
+                  interpret: bool = False):
     """Both V-passes of the quantized aggregation in one kernel (see
     _vv_kernel).  Bit-identical to two _band_pass_h(mode='int',
     terms=digits) calls with rescales s2 then s3.  Input is read
     unpadded (aligned shapes); out_t stores the (W, H, D)-shaped result
-    for a (W, H, D)-shaped input, i.e. back in natural orientation."""
-    h0, w0, d = vol.shape
+    for a (W, H, D)-shaped input, i.e. back in natural orientation.
+    `vol` may be a (lo, hi) bf16 digit pair and out_digits returns one
+    (see _band_pass_h)."""
+    in_digits = isinstance(vol, (tuple, list))
+    vols = list(vol) if in_digits else [vol]
+    h0, w0, d = vols[0].shape
     h, w = h0, w0
     if h % rows or w % 8:
         hp = -(-h // rows) * rows
         wp = -(-w // 8) * 8
-        vol = jnp.pad(vol, ((0, hp - h), (0, wp - w), (0, 0)))
+        vols = [jnp.pad(v, ((0, hp - h), (0, wp - w), (0, 0)))
+                for v in vols]
         zpad = ((0, hp - h), (0, wp - w))
         arm_neg = jnp.pad(arm_neg.astype(jnp.int32), zpad)
         arm_pos = jnp.pad(arm_pos.astype(jnp.int32), zpad)
@@ -402,6 +477,7 @@ def _band_pass_vv(vol: jnp.ndarray, arm_neg: jnp.ndarray,
 
     an_n = arm_neg.astype(jnp.int32)
     ap_n = arm_pos.astype(jnp.int32)
+    odt = jnp.int32 if digits >= 3 else jnp.int16
 
     arm_spec = pl.BlockSpec((rows, w), lambda y: (y, 0),
                             memory_space=pltpu.VMEM)
@@ -410,29 +486,34 @@ def _band_pass_vv(vol: jnp.ndarray, arm_neg: jnp.ndarray,
     if out_t:
         out_spec = pl.BlockSpec((w, rows, d), lambda y: (0, y, 0),
                                 memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((w, h, d), jnp.int16)
+        out_shape = jax.ShapeDtypeStruct(
+            (w, h, d), BF16 if out_digits else odt)
     else:
         out_spec = pl.BlockSpec((rows, w, d), lambda y: (y, 0, 0),
                                 memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((h, w, d), jnp.int16)
+        out_shape = jax.ShapeDtypeStruct(
+            (h, w, d), BF16 if out_digits else odt)
     scratch = pltpu.VMEM((rows, w + 2 * halo, d), BF16)
+    nouts = 2 if out_digits else 1
 
     out = pl.pallas_call(
         functools.partial(_vv_kernel, s2=s2, s3=s3, tiles=tiles, rows=rows,
-                          halo=halo, digits=digits, out_t=out_t),
+                          halo=halo, digits=digits, out_t=out_t,
+                          in_digits=in_digits, out_digits=out_digits),
         grid=(h // rows,),
-        in_specs=[arm_spec, arm_spec, vol_spec],
-        out_specs=out_spec,
-        out_shape=out_shape,
+        in_specs=[arm_spec, arm_spec] + [vol_spec] * len(vols),
+        out_specs=[out_spec] * nouts if out_digits else out_spec,
+        out_shape=[out_shape] * nouts if out_digits else out_shape,
         scratch_shapes=[scratch] * digits,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(an_n, ap_n, vol)
-    if (h, w) == (h0, w0):
-        return out
-    return out[:w0, :h0] if out_t else out[:h0, :w0]
+    )(an_n, ap_n, *vols)
+    outs = list(out) if out_digits else [out]
+    if (h, w) != (h0, w0):
+        outs = [o[:w0, :h0] if out_t else o[:h0, :w0] for o in outs]
+    return tuple(outs) if out_digits else outs[0]
 
 
 def band_span_sum_h(vol: jnp.ndarray, arm_neg: jnp.ndarray,
@@ -495,11 +576,20 @@ def agg_rescale_shifts(max_arm: int, digits: int = 2,
     path): inputs stay below 2^8 (ONE bf16-exact digit -> one MXU dot per
     pass), which costs ~4 bits of aggregate precision per rescale --
     WTA flips only at near-ties (measured on the bud/fish fixtures,
-    BASELINE.md).  Smaller arms need smaller shifts -> finer values.
+    BASELINE.md).  digits=3 (high-fidelity dial, r5): inputs bounded by
+    (2^24-1)/wmax so every accumulation stays f32-exact with THREE
+    base-256 digits -- the rescales keep ~17-18 bits per pass instead of
+    15, at 3 MXU dots per pass.  The r5 qscale sweep showed the bad-pixel
+    residual is FLAT in qscale (the shifts grow with it), so the
+    per-pass bound -- i.e. digits -- is the real fidelity lever.
+    Smaller arms need smaller shifts -> finer values.
     """
     import math
     wmax = 2 * max_arm + 1
-    bound = 32767.0 if digits == 2 else 255.0
+    if digits >= 3:
+        bound = float((1 << 24) - 1) / wmax
+    else:
+        bound = 32767.0 if digits == 2 else 255.0
     v = _qmax(qscale)
     shifts = []
     for _ in range(3):                       # after passes 1, 2, 3
@@ -518,7 +608,8 @@ def band_aggregate_q(cost_q: jnp.ndarray, arms: jnp.ndarray, max_arm: int,
                      otile: int = _LANE,
                      digits: int = 2,
                      final_out_t: bool = False,
-                     qscale: float = QSCALE) -> jnp.ndarray:
+                     qscale: float = QSCALE,
+                     digit_pair: bool = False) -> jnp.ndarray:
     """Four-pass cross aggregation (live order H,V,V,H, d_ca_cross.cu:
     255-271) on a quantized (H, W, D) volume of integers <= 254 (see
     quantize_cost), with exact integer arithmetic throughout; `max_arm`
@@ -549,20 +640,30 @@ def band_aggregate_q(cost_q: jnp.ndarray, arms: jnp.ndarray, max_arm: int,
     # (W, H, D), the fused V-passes read it directly and emit (H, W, D)
     # for pass 4 -- zero full-volume XLA relayouts (round 2 paid two
     # swapaxes + three pads per aggregation, ~8 GB of HBM copies/frame).
-    i16 = jnp.int16
+    # inter-pass store dtype: int16 holds the digits<=2 bounds; the
+    # digits=3 fidelity dial's ~18-bit values ride int32
+    i16 = jnp.int32 if digits >= 3 else jnp.int16
     # transposed in-kernel stores need full 128-lane tiles on D (Mosaic
     # has no narrow-lane middle-index store); smaller D falls back to
     # XLA swapaxes between passes (those volumes are 128/D x smaller)
     out_t = cost_q.shape[-1] % 128 == 0
+    # pre-split bf16 digit-pair inter-pass volumes: each pass's window
+    # loads feed the MXU with ZERO convert/split ops.  MEASURED SLOWER
+    # on v5e (r5 agg_probe: VV 6.5 -> ~7.2, pass1 3.9 -> 5.9 net of
+    # harness overhead): the kernels sit near their DMA budget, and the
+    # 2x HBM of two bf16 planes vs one int16 costs more than the split
+    # ops save.  The path stays available (digit_pair=True) as the
+    # documented-rejected lever; results are bit-identical either way.
+    pair = digit_pair and digits == 2 and out_t
     kw = dict(rows=rows, otile=otile, halo=halo, interpret=interpret)
     at = _band_pass_h(cost_q, arms[LEFT], arms[RIGHT], mode="int",
                       terms=p1_terms, rescale=s1, out_dtype=i16,
-                      out_t=out_t, **kw)
+                      out_t=out_t, out_digits=pair, **kw)
     if not out_t:
         at = jnp.swapaxes(at, 0, 1)
     a = _band_pass_vv(at, arms[UP].T, arms[DOWN].T, s2=s2, s3=s3,
                       rows=rows, otile=otile, halo=halo, digits=digits,
-                      out_t=out_t, interpret=interpret)
+                      out_t=out_t, out_digits=pair, interpret=interpret)
     if not out_t:
         a = jnp.swapaxes(a, 0, 1)
     if zero_disp is None:

@@ -237,6 +237,21 @@ def test_band_qscale_dial(stereo_pair):
         outs[q] = np.mean(np.abs(_np(dl) - _np(gl)) > 1.0)
     assert outs[510.0] <= outs[127.0]
 
+    # digits=3 (the REAL fidelity lever -- the r5 sweep showed the
+    # residual is flat in qscale because the rescale shifts grow with
+    # it, while 3 digit planes raise the per-pass precision bound):
+    # chunking stays bit-exact and the golden residual must not exceed
+    # the best 2-digit run (it measures 0.0006 vs 0.0135 on full bud)
+    cfg3 = PipelineConfig(engine="band", band_qscale=510.0,
+                          band_digits=3, **base)
+    dl3, _ = band_stereo_core_chunked(l, r, arms_l, arms_r, cfg3,
+                                      interpret=True)
+    dl3_c, _ = band_stereo_core_chunked(
+        l, r, arms_l, arms_r, cfg3.replace(band_row_chunk=8),
+        interpret=True)
+    np.testing.assert_array_equal(_np(dl3), _np(dl3_c))
+    assert np.mean(np.abs(_np(dl3) - _np(gl)) > 1.0) <= min(outs.values())
+
 
 def test_chunked_core_matches_unchunked(stereo_pair):
     """Row-chunked stereo core vs whole-frame: bit-exact.  The quantized

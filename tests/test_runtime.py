@@ -100,6 +100,28 @@ def test_stream_driver(frames_dir):
     assert stats["frames"] >= 1
 
 
+def test_stream_driver_pipelined(frames_dir):
+    """depth >= 2 (frames in flight) delivers every frame, in order,
+    with outputs identical to the serial loop."""
+    from stereo_to_multiview_tpu.config import PipelineConfig
+    from stereo_to_multiview_tpu.models.stream import FrameSource, stream
+    cfg = PipelineConfig(num_rows=24, num_cols=32, num_rows_out=24,
+                         num_cols_out=32, num_disp=4, zero_disp=2,
+                         usd=4, lsd=2, num_views=2, irv_iterations=1,
+                         bilateral_radius=2, feather_radius=2)
+    got = {}
+    for d in (1, 3):
+        seen, ils = [], []
+        stream(FrameSource(frames_dir, loop=False), cfg,
+               on_frame=lambda i, dl, dr, il: (seen.append(i),
+                                               ils.append(np.asarray(il))),
+               verbose=False, depth=d)
+        assert seen == [0, 1, 2, 3]
+        got[d] = ils
+    for a, b in zip(got[1], got[3]):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_dump_writer(tmp_path):
     from stereo_to_multiview_tpu.utils.dump import (
         DumpWriter, dump_pipeline_intermediates)
