@@ -27,7 +27,13 @@ def main():
     ap.add_argument("--disp", type=int, default=128)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--stages", default="all",
+                    help="comma list from: passes, pair, full")
     args = ap.parse_args()
+    want = args.stages.split(",")
+
+    def W(name):
+        return "all" in want or name in want
 
     import jax
     import jax.numpy as jnp
@@ -94,23 +100,59 @@ def main():
             return acc
         return run
 
-    timed("pass1 (H, u8 in, i16 out_t)", loop_u8(
-        lambda v: B._band_pass_h(v, an_h, ap_h, mode="int", terms=1,
-                                 rescale=s1, out_dtype=jnp.int16,
-                                 out_t=True, halo=halo,
-                                 interpret=interp)), vol_u8)
-    timed("VV fused (i16 in, i16 out_t)", loop_i16(
-        lambda v: B._band_pass_vv(v, an_v, ap_v, s2=s2, s3=s3, halo=halo,
-                                  digits=2, out_t=True,
-                                  interpret=interp)), vol_i16)
     vol_hwd = jnp.asarray(
         rng.integers(0, 32767, (h, w, d), dtype=np.int16))
-    timed("pass4 (H + WTA, i16 in)", loop_i16(
-        lambda v: B._band_pass_h(v, an_h, ap_h, mode="int", terms=2,
-                                 wta=True, zero_disp=cfg.zero_disp,
-                                 halo=halo, interpret=interp)), vol_hwd)
+    if W("passes"):
+        timed("pass1 (H, u8 in, i16 out_t)", loop_u8(
+            lambda v: B._band_pass_h(v, an_h, ap_h, mode="int", terms=1,
+                                     rescale=s1, out_dtype=jnp.int16,
+                                     out_t=True, halo=halo,
+                                     interpret=interp)), vol_u8)
+        timed("VV fused (i16 in, i16 out_t)", loop_i16(
+            lambda v: B._band_pass_vv(v, an_v, ap_v, s2=s2, s3=s3,
+                                      halo=halo, digits=2, out_t=True,
+                                      interpret=interp)), vol_i16)
+        timed("pass4 (H + WTA, i16 in)", loop_i16(
+            lambda v: B._band_pass_h(v, an_h, ap_h, mode="int", terms=2,
+                                     wta=True, zero_disp=cfg.zero_disp,
+                                     halo=halo, interpret=interp)),
+              vol_hwd)
 
     # --- r5 digit-pair variants (pre-split bf16 lo/hi volumes) ---
+    if W("pair"):
+        _probe_pair(args, timed, loop_u8, loop_i16, B, an_h, ap_h, an_v,
+                    ap_v, s1, s2, s3, halo, cfg, interp, vol_u8, vol_i16,
+                    vol_hwd)
+    if not W("full"):
+        return
+
+    arms4 = jnp.stack([an_v.T, ap_v.T, an_h, ap_h])   # UP, DOWN, L, R
+    timed("full agg q (1 eye)", loop_u8(
+        lambda v: B.band_aggregate_q(v, arms4, usd,
+                                     zero_disp=cfg.zero_disp,
+                                     interpret=interp)), vol_u8)
+    # both eyes in ONE launch per pass: concat along the H grid axis --
+    # H-pass windows run along W and V-pass windows along H *within each
+    # eye's rows* (arms stop at each eye's borders), so the seam is never
+    # crossed and results are bit-identical to two per-eye runs
+    arms8 = jnp.concatenate([arms4, arms4], axis=1)
+    timed("full agg q (2 eyes stacked)", loop_u8(
+        lambda v: B.band_aggregate_q(
+            jnp.concatenate([v, v ^ np.uint8(3)], axis=0), arms8, usd,
+            zero_disp=cfg.zero_disp, interpret=interp)), vol_u8)
+    for ot in (64, 192):
+        timed(f"full agg q (1 eye, otile={ot})", loop_u8(
+            lambda v, ot=ot: B.band_aggregate_q(
+                v, arms4, usd, zero_disp=cfg.zero_disp, otile=ot,
+                interpret=interp)), vol_u8)
+
+
+def _probe_pair(args, timed, loop_u8, loop_i16, B, an_h, ap_h, an_v,
+                ap_v, s1, s2, s3, halo, cfg, interp, vol_u8, vol_i16,
+                vol_hwd):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
     timed("pass1 -> digit pair", loop_u8(
         lambda v: B._band_pass_h(v, an_h, ap_h, mode="int", terms=1,
                                  rescale=s1, out_t=True, out_digits=True,
@@ -139,11 +181,6 @@ def main():
         lambda p: B._band_pass_h(p, an_h, ap_h, mode="int", terms=2,
                                  wta=True, zero_disp=cfg.zero_disp,
                                  halo=halo, interpret=interp)), vol_hwd)
-    arms4 = jnp.stack([an_v.T, ap_v.T, an_h, ap_h])   # UP, DOWN, L, R
-    timed("full agg q (1 eye, pair path)", loop_u8(
-        lambda v: B.band_aggregate_q(v, arms4, usd,
-                                     zero_disp=cfg.zero_disp,
-                                     interpret=interp)), vol_u8)
 
 
 if __name__ == "__main__":

@@ -163,7 +163,7 @@ def stage_model(H, W, D, V, usd, lsd, r_bil, r_feather, irv_rounds):
     return st
 
 
-def hslo_row(H, W, D, rows_blk=16):
+def hslo_row(H, W, D, rows_blk=None):
     """Optional-stage floor for the fused scanline-DP kernel
     (ops/hslokern.py, --hslo).  Unlike every other stage the DP is
     LATENCY-bound: each column's (rows_blk, D) update depends on the
@@ -176,6 +176,13 @@ def hslo_row(H, W, D, rows_blk=16):
     penalty tiers, non-chain ops) and HBM bytes ride the usual terms and
     are overlapped with the chain on real hardware, so the row's bound
     is max(), like every other stage."""
+    if rows_blk is None:
+        import os
+        import sys
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".."))
+        from stereo_to_multiview_tpu.ops.hslokern import _pick_rows
+        rows_blk = _pick_rows(-(-W // 8) * 8, D, 4)   # int32 volume
     E = 2
     N = H * W
     DEP, VLAT = 12, 6
@@ -190,28 +197,32 @@ def hslo_row(H, W, D, rows_blk=16):
                      f"{DEP} deps @ {VLAT} cyc; {rows_blk}-row blocks")
 
 
-# r4 measured stage table (fish-3x input, 1x v5e, lax.map batch 8-16,
+# r5 measured stage table (fish-3x input, 1x v5e, lax.map batch 4-16,
 # net of relay dispatch; outputs reduced but kernel work DCE-proof) --
 # update alongside BASELINE.md.  "agg+wta" = band_aggregate_q both eyes
 # with the cost volumes precomputed; "cost" = ci_adcensus_kern_xm with
 # outputs sum-consumed (the relayouts cannot be dead-code-eliminated).
-MEASURED_R4 = {
+MEASURED = {
     "arms_lr": 3.7,
     "cost": 9.4,           # ci_adcensus_kern_xm, outputs sum-consumed
-    "agg+wta": 33.0,       # band_aggregate_q both eyes, volumes as args
-                           # (9.4 + 33.0 reconciles the 43.0 ms core)
+    "agg+wta": 30.6,       # 2 x full band_aggregate_q 15.3/eye (r5
+                           # agg_probe; per-pass: p1 3.9 + VV 6.5 +
+                           # p4 5.3).  ~8 ms/eye is pure MXU digit-dots
+                           # at the 98.5% measured rate; every cheaper
+                           # formulation measured or priced worse
+                           # (BASELINE.md r5 rejected-levers list)
     "dcc": 2.8,
-    "irv": 15.1,           # full-graph ablation (irv=5 vs irv=0) with
-                           # the change-frontier round flags; round 1 is
-                           # dense (~12 ms, rowspan-volume DMA bound)
+    "irv": 9.9,            # r5 full-graph ablation (irv=5 vs irv=0)
+                           # with the sparse flag-gated-DMA kernels
     "bilateral": 4.4,
     "occl": 2.0,
-    "bleed+mask": 2.1,
-    "feather": 1.1,
-    "warp_views": 6.6,
+    "bleed+mask": 2.1,     # r4 standalone rows; the r5 synth chain runs
+    "feather": 1.1,        # these fused in the warp kernel's transposed
+    "warp_views": 6.6,     # domain (8a172b3) -- in-graph synth ~8 ms
     "merge+mask": 2.0,
     "mux": 0.7,
 }
+MEASURED_R4 = MEASURED   # back-compat alias
 
 
 def main():

@@ -446,12 +446,13 @@ def _vv_kernel(an_ref, ap_ref, *refs, s2: int,
 
 @functools.partial(jax.jit, static_argnames=("s2", "s3", "rows", "otile",
                                              "halo", "digits", "out_t",
-                                             "out_digits", "interpret"))
+                                             "out_digits", "out_dtype",
+                                             "interpret"))
 def _band_pass_vv(vol, arm_neg: jnp.ndarray,
                   arm_pos: jnp.ndarray, *, s2: int, s3: int,
                   rows: int = _ROWS, otile: int = _LANE,
                   halo: int = _HALO, digits: int = 2, out_t: bool = False,
-                  out_digits: bool = False,
+                  out_digits: bool = False, out_dtype=None,
                   interpret: bool = False):
     """Both V-passes of the quantized aggregation in one kernel (see
     _vv_kernel).  Bit-identical to two _band_pass_h(mode='int',
@@ -477,7 +478,8 @@ def _band_pass_vv(vol, arm_neg: jnp.ndarray,
 
     an_n = arm_neg.astype(jnp.int32)
     ap_n = arm_pos.astype(jnp.int32)
-    odt = jnp.int32 if digits >= 3 else jnp.int16
+    odt = out_dtype if out_dtype is not None else (
+        jnp.int32 if digits >= 3 else jnp.int16)
 
     arm_spec = pl.BlockSpec((rows, w), lambda y: (y, 0),
                             memory_space=pltpu.VMEM)
@@ -609,7 +611,8 @@ def band_aggregate_q(cost_q: jnp.ndarray, arms: jnp.ndarray, max_arm: int,
                      digits: int = 2,
                      final_out_t: bool = False,
                      qscale: float = QSCALE,
-                     digit_pair: bool = False) -> jnp.ndarray:
+                     digit_pair: bool = False,
+                     inter_dtype=None) -> jnp.ndarray:
     """Four-pass cross aggregation (live order H,V,V,H, d_ca_cross.cu:
     255-271) on a quantized (H, W, D) volume of integers <= 254 (see
     quantize_cost), with exact integer arithmetic throughout; `max_arm`
@@ -642,7 +645,9 @@ def band_aggregate_q(cost_q: jnp.ndarray, arms: jnp.ndarray, max_arm: int,
     # swapaxes + three pads per aggregation, ~8 GB of HBM copies/frame).
     # inter-pass store dtype: int16 holds the digits<=2 bounds; the
     # digits=3 fidelity dial's ~18-bit values ride int32
-    i16 = jnp.int32 if digits >= 3 else jnp.int16
+    if inter_dtype is None:
+        inter_dtype = jnp.int32 if digits >= 3 else jnp.int16
+    i16 = inter_dtype
     # transposed in-kernel stores need full 128-lane tiles on D (Mosaic
     # has no narrow-lane middle-index store); smaller D falls back to
     # XLA swapaxes between passes (those volumes are 128/D x smaller)
@@ -663,7 +668,8 @@ def band_aggregate_q(cost_q: jnp.ndarray, arms: jnp.ndarray, max_arm: int,
         at = jnp.swapaxes(at, 0, 1)
     a = _band_pass_vv(at, arms[UP].T, arms[DOWN].T, s2=s2, s3=s3,
                       rows=rows, otile=otile, halo=halo, digits=digits,
-                      out_t=out_t, out_digits=pair, interpret=interpret)
+                      out_t=out_t, out_digits=pair, out_dtype=i16,
+                      interpret=interpret)
     if not out_t:
         a = jnp.swapaxes(a, 0, 1)
     if zero_disp is None:
