@@ -69,16 +69,21 @@ class PipelineConfig:
     band_nsplit: int = 2         # bf16 split terms for float band matmuls
                                  # (2 ~ 1e-5 rel err, 3 ~ f32; IRV is exact
                                  # regardless)
-    band_digits: int = 2         # aggregation digit planes: 2 = exact
-                                 # base-256 pairs; 1 = single-digit fast
-                                 # path (one MXU dot per pass, ~4 bits of
-                                 # aggregate precision lost per rescale --
-                                 # WTA flips only at near-ties); 3 = the
-                                 # high-fidelity dial (~17-18 bits kept
-                                 # per pass vs 15; pair with band_qscale
-                                 # >= 510 -- the r5 sweep showed qscale
-                                 # alone cannot move the residual, the
-                                 # per-pass digit bound can)
+    band_digits: int = 3         # aggregation digit planes (all exact
+                                 # integer arithmetic):
+                                 # 3 (default, r5): ~17-18 bits kept per
+                                 #   pass (inputs bounded by (2^24-1)/
+                                 #   wmax, int32 inter volumes) -- and
+                                 #   MEASURED FASTER than 2 at 1080p
+                                 #   (58.8 vs 71.2 ms/frame, same-process
+                                 #   A/B) while cutting the bud bad-pixel
+                                 #   residual 0.0135 -> 0.0006;
+                                 # 2: the r2-r4 base-256 pair path
+                                 #   (2^15 per-pass bound, int16
+                                 #   volumes);
+                                 # 1: single-digit fast path (~4 bits
+                                 #   lost per rescale, WTA flips at
+                                 #   near-ties)
     band_qscale: float = 127.0   # band-engine cost quantization scale
                                  # (q = rint(cost * qscale), cost <= 2).
                                  # 127 (default): u8 volumes, the r2-r4
