@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--stages", default="all",
                     help="comma list from: passes, pair, full")
+    ap.add_argument("--digits", type=int, default=3,
+                    help="digit planes for the `full` stage "
+                         "(cfg.band_digits; 3 is the shipping default)")
     args = ap.parse_args()
     want = args.stages.split(",")
 
@@ -127,9 +130,10 @@ def main():
         return
 
     arms4 = jnp.stack([an_v.T, ap_v.T, an_h, ap_h])   # UP, DOWN, L, R
-    timed("full agg q (1 eye)", loop_u8(
+    timed(f"full agg q (1 eye, digits={args.digits})", loop_u8(
         lambda v: B.band_aggregate_q(v, arms4, usd,
                                      zero_disp=cfg.zero_disp,
+                                     digits=args.digits,
                                      interpret=interp)), vol_u8)
     # both eyes in ONE launch per pass: concat along the H grid axis --
     # H-pass windows run along W and V-pass windows along H *within each

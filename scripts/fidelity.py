@@ -115,7 +115,7 @@ def tpu(args):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("phase", choices=("golden", "tpu"))
-    ap.add_argument("--digits", type=int, default=2)
+    ap.add_argument("--digits", type=int, default=3)
     ap.add_argument("--bench1080", action="store_true")
     args = ap.parse_args()
     (golden if args.phase == "golden" else tpu)(args)

@@ -53,7 +53,8 @@ def fmt(x, unit):
     return f"{x:7.1f}  {unit}"
 
 
-def stage_model(H, W, D, V, usd, lsd, r_bil, r_feather, irv_rounds):
+def stage_model(H, W, D, V, usd, lsd, r_bil, r_feather, irv_rounds,
+                digits=3):
     """Returns {stage: dict(macs, eops, exps, bytes, note)}.
 
     Element counts follow the shipping kernels (ops/costkern.py,
@@ -94,20 +95,26 @@ def stage_model(H, W, D, V, usd, lsd, r_bil, r_feather, irv_rounds):
         note="pair volume + shear + 2 relayouts")
 
     # ---- aggregation (band_aggregate_q: H,V,V,H + fused WTA) ----
-    # digit dots per pass: p1=1, p2=2, p3=2, p4=2
-    digit_passes = 1 + 2 + 2 + 2
+    # digit dots per pass: p1=1 (u8 costs are one bf16 digit at the
+    # default qscale), p2=p3=p4=`digits` (cfg.band_digits; 3 is the
+    # shipping default -- faster end-to-end, BASELINE.md r5)
+    digit_passes = 1 + 3 * digits
     macs = E * N * D * win * digit_passes
+    # inter-pass volume dtype: int16 holds the digits<=2 bounds;
+    # digits=3's ~18-bit values ride int32
+    isz = 4 if digits >= 3 else 2
     # VPU per output elem per pass: band build ~3 ops amortized over D
-    # lanes => 3*win/D; digit split ~6 ops on the window => 6*win/(otile)
-    # for p2/p4; rescale+resplit ~11 on outputs of p2/p3; WTA ~4.
+    # lanes => 3*win/D; digit split ~3 ops/digit on the window =>
+    # 3*digits*win/otile for p2/p4; rescale+resplit ~5.5/digit on
+    # outputs of p2/p3; WTA ~4.
     eops = E * N * D * (
         4 * (3 * win / D)                  # band builds (4 passes)
-        + 2 * (6 * win / otile)            # splits at p2, p4
-        + 2 * 11                           # rescale + re-split p2/p3
+        + 2 * (3 * digits * win / otile)   # splits at p2, p4
+        + 2 * 5.5 * digits                 # rescale + re-split p2/p3
         + 4)                               # fused WTA
     byts = (E * N * D * (2          # p1 reads bf16 cost
-                         + 2 * 2    # p1 writes + vv reads i16
-                         + 2 * 2)   # vv writes + p4 reads i16
+                         + 2 * isz  # p1 writes + vv reads
+                         + 2 * isz) # vv writes + p4 reads
             + E * N * 4)            # disparity out
     st["agg+wta"] = dict(macs=macs, eops=int(eops), bytes=int(byts),
                          exps=0,
@@ -205,15 +212,18 @@ def hslo_row(H, W, D, rows_blk=None):
 MEASURED = {
     "arms_lr": 3.7,
     "cost": 9.4,           # ci_adcensus_kern_xm, outputs sum-consumed
-    "agg+wta": 30.6,       # 2 x full band_aggregate_q 15.3/eye (r5
-                           # agg_probe; per-pass: p1 3.9 + VV 6.5 +
-                           # p4 5.3).  ~8 ms/eye is pure MXU digit-dots
-                           # at the 98.5% measured rate; every cheaper
-                           # formulation measured or priced worse
-                           # (BASELINE.md r5 rejected-levers list)
+    "agg+wta": 28.3,       # 2 x full band_aggregate_q 14.17/eye at the
+                           # digits=3 default (r5 agg_probe; the d2
+                           # path measured 15.3/eye).  ~11 ms/eye is
+                           # pure MXU digit-dots at the 98.5% measured
+                           # rate; every cheaper formulation measured
+                           # or priced worse (BASELINE.md r5
+                           # rejected-levers list)
     "dcc": 2.8,
-    "irv": 9.9,            # r5 full-graph ablation (irv=5 vs irv=0)
-                           # with the sparse flag-gated-DMA kernels
+    "irv": 1.8,            # r5 full-graph ablation (irv=5 vs irv=0)
+                           # at the band_digits=3 default: the cleaner
+                           # disparities collapse the early-stopped
+                           # sparse rounds (9.9 ms at digits=2)
     "bilateral": 4.4,
     "occl": 2.0,
     "bleed+mask": 2.1,     # r4 standalone rows; the r5 synth chain runs
@@ -235,9 +245,16 @@ def main():
     ap.add_argument("--lsd", type=int, default=17)
     ap.add_argument("--bilateral", type=int, default=7)
     ap.add_argument("--feather", type=int, default=10)
-    ap.add_argument("--irv-rounds", type=int, default=2,
-                    help="in-graph rounds on real content (early stop); "
-                         "use 5 for the standalone worst case")
+    ap.add_argument("--digits", type=int, default=3,
+                    help="aggregation digit planes (cfg.band_digits; "
+                         "3 is the shipping default)")
+    ap.add_argument("--irv-rounds", type=float, default=0.5,
+                    help="EFFECTIVE in-graph rounds on real content (the "
+                         "early-stopped loop + sparse flag-gated DMA "
+                         "collapse the bench content to ~0.5 at the "
+                         "band_digits=3 default -- measured 1.8 ms by "
+                         "full-graph ablation; use 5 for the standalone "
+                         "dense worst case)")
     ap.add_argument("--measured", default="",
                     help="stage=ms,... measured times to rate against")
     ap.add_argument("--hslo", action="store_true",
@@ -253,7 +270,7 @@ def main():
 
     st = stage_model(args.rows, args.cols, args.disp, args.views,
                      args.usd, args.lsd, args.bilateral, args.feather,
-                     args.irv_rounds)
+                     args.irv_rounds, args.digits)
     if args.hslo:
         st["hslo"] = hslo_row(args.rows, args.cols, args.disp)
 
