@@ -94,6 +94,17 @@ class PipelineConfig:
                                  # bytes) and a split pass-1 digit dot
                                  # (scripts/qscale_sweep.py; BASELINE.md
                                  # fidelity dial rows)
+    band_lossy_wta: bool = False # speed dial: pass 4 of the band
+                                 # aggregation feeds WTA through ONE
+                                 # bf16 dot (8 mantissa bits) instead of
+                                 # band_digits exact digit dots.  The
+                                 # aggregate is only an argmin input
+                                 # there, so rounding flips WTA only at
+                                 # near-ties (bud 0.0003/0.0004 of
+                                 # pixels, fish identical; BASELINE.md
+                                 # r5).  Deterministic + row-local:
+                                 # chunking/sharding stay bit-identical
+                                 # -- only golden exactness is relaxed
     xla_agg_qscale: float = 0.0  # > 0: quantize costs to
                                  # rint(cost*qscale) before the XLA
                                  # engine's cumsum aggregation.  Integer

@@ -612,7 +612,8 @@ def band_aggregate_q(cost_q: jnp.ndarray, arms: jnp.ndarray, max_arm: int,
                      final_out_t: bool = False,
                      qscale: float = QSCALE,
                      digit_pair: bool = False,
-                     inter_dtype=None) -> jnp.ndarray:
+                     inter_dtype=None,
+                     lossy_wta: bool = False) -> jnp.ndarray:
     """Four-pass cross aggregation (live order H,V,V,H, d_ca_cross.cu:
     255-271) on a quantized (H, W, D) volume of integers <= 254 (see
     quantize_cost), with exact integer arithmetic throughout; `max_arm`
@@ -630,6 +631,15 @@ def band_aggregate_q(cost_q: jnp.ndarray, arms: jnp.ndarray, max_arm: int,
     the final (H, W, D) aggregated volume (exact integers at scale
     QSCALE / 2^(s1+s2+s3) of the reference's unit) is returned.  Either
     way the result is bit-identical under any row chunking or sharding.
+
+    lossy_wta (requires zero_disp; cfg.band_lossy_wta): pass 4 feeds the
+    WTA argmin through ONE bf16 dot of the whole int volume (8 mantissa
+    bits) instead of `digits` exact digit dots -- the aggregate is only
+    an argmin input there, so the rounding can flip WTA only at near-ties
+    (measured 0.0003/0.0004 of bud pixels, fish identical; BASELINE.md
+    r5).  Deterministic and row-local, so chunking/sharding still
+    reproduce bit-identically; only exactness vs the f32-scaled golden
+    is relaxed.
     """
     from stereo_to_multiview_tpu.ops.cross import UP, DOWN, LEFT, RIGHT
     s1, s2, s3 = agg_rescale_shifts(max_arm, digits, qscale)
@@ -691,6 +701,11 @@ def band_aggregate_q(cost_q: jnp.ndarray, arms: jnp.ndarray, max_arm: int,
                            out_dtype=jnp.int32 if final_out_t
                            else jnp.float32, **kw)
         return jnp.swapaxes(vol, 0, 1) if final_out_t else vol
+    if lossy_wta:
+        # one bf16 cast of the int volume (mode float, 1 term): the dot
+        # rounds to 8 mantissa bits, which only matters at WTA near-ties
+        return _band_pass_h(a, arms[LEFT], arms[RIGHT], mode="float",
+                            terms=1, wta=True, zero_disp=zero_disp, **kw)
     return _band_pass_h(a, arms[LEFT], arms[RIGHT], mode="int",
                         terms=digits, wta=True, zero_disp=zero_disp, **kw)
 
@@ -1120,6 +1135,7 @@ def band_stereo_core_chunked(img_l, img_r, arms_l, arms_r, cfg,
     ext16 = -(-ext // 16) * 16
     digits = getattr(cfg, "band_digits", 2)
     qsc = getattr(cfg, "band_qscale", QSCALE)
+    lossy = getattr(cfg, "band_lossy_wta", False)
 
     if cfg.use_hslo:
         from stereo_to_multiview_tpu.ops.hslokern import dc_hslo_wta_kern
@@ -1168,6 +1184,7 @@ def band_stereo_core_chunked(img_l, img_r, arms_l, arms_r, cfg,
                     cost[c_lo:c_lo + ext16], arms16, usd,
                     zero_disp=cfg.zero_disp,
                     digits=digits, qscale=qsc,
+                    lossy_wta=lossy,
                     interpret=interpret)
             parts.append(disp[v])
     if len(disp_parts_l) == 1:

@@ -757,3 +757,34 @@ def test_gaussian_lift_t_matches_natural(rng):
     a = filter_gaussian_lift(m, 5, 7.0)
     b = filter_gaussian_lift_t(m.T, 5, 7.0)
     np.testing.assert_array_equal(_np(a), _np(b.T))
+
+
+def test_band_lossy_wta_dial(stereo_pair):
+    """cfg.band_lossy_wta (the r5 speed dial): pass 4 feeds WTA through
+    one bf16 dot instead of band_digits exact digit dots.  The rounding
+    may flip WTA only at near-ties, so (a) the flip fraction vs the
+    exact path stays tiny on the real fixture crop, and (b) row chunking
+    remains bit-identical (the rounding is deterministic + row-local)."""
+    from stereo_to_multiview_tpu.config import PipelineConfig
+    from stereo_to_multiview_tpu.ops.band import band_stereo_core_chunked
+    left, right = stereo_pair
+    h, w = left.shape[:2]
+    base = dict(num_rows=h, num_cols=w, num_rows_out=h, num_cols_out=w,
+                num_disp=12, zero_disp=6, usd=5, lsd=2, num_views=4)
+    l, r = jnp.asarray(left), jnp.asarray(right)
+    arms_l = ops.cross_arms(l, 6.0, 20.0, 5, 2)
+    arms_r = ops.cross_arms(r, 6.0, 20.0, 5, 2)
+
+    cfg = PipelineConfig(engine="band", **base)
+    dl_exact, _ = band_stereo_core_chunked(l, r, arms_l, arms_r, cfg,
+                                           interpret=True)
+    cfg_lossy = cfg.replace(band_lossy_wta=True)
+    dl, _ = band_stereo_core_chunked(l, r, arms_l, arms_r, cfg_lossy,
+                                     interpret=True)
+    flips = np.mean(_np(dl) != _np(dl_exact))
+    assert flips < 0.02, flips
+
+    dl_c, _ = band_stereo_core_chunked(
+        l, r, arms_l, arms_r, cfg_lossy.replace(band_row_chunk=8),
+        interpret=True)
+    np.testing.assert_array_equal(_np(dl), _np(dl_c))
