@@ -100,6 +100,26 @@ def test_stream_driver(frames_dir):
     assert stats["frames"] >= 1
 
 
+def test_stream_driver_meter_excludes_consumer(frames_dir):
+    """At depth 1 the meter times exactly the upload+compute+fetch span,
+    so a slow on_frame consumer (PNG dumps, a paused preview) must not
+    inflate fps/ms_max stats (ADVICE r4; stream.py _finish)."""
+    import time
+    from stereo_to_multiview_tpu.config import PipelineConfig
+    from stereo_to_multiview_tpu.models.stream import FrameSource, stream
+    cfg = PipelineConfig(num_rows=24, num_cols=32, num_rows_out=24,
+                         num_cols_out=32, num_disp=4, zero_disp=2,
+                         usd=4, lsd=2, num_views=2, irv_iterations=1,
+                         bilateral_radius=2, feather_radius=2)
+    stats = stream(FrameSource(frames_dir, loop=False), cfg,
+                   on_frame=lambda i, dl, dr, il: time.sleep(0.25),
+                   verbose=False, depth=1)
+    assert stats["frames"] >= 1
+    # steady-state samples are post-compile; the tiny frame computes in
+    # a few ms, so any consumer bleed-through would show as >=250 ms
+    assert stats["ms_max"] < 200.0
+
+
 def test_stream_driver_pipelined(frames_dir):
     """depth >= 2 (frames in flight) delivers every frame, in order,
     with outputs identical to the serial loop."""
