@@ -255,6 +255,12 @@ def test_ffmpeg_pipe_source(tmp_path):
         np.testing.assert_array_equal(fr, ref[i % 3])
     assert src.h == 32 and src.w == 64
 
+    # re-iterable: a second __iter__ after the child was reaped must
+    # respawn the producer, not fail on the dead pipe (ADVICE r4)
+    src2 = StubSource(clip, loop=False, ffmpeg=sys.executable)
+    assert len(list(src2)) == 3
+    assert len(list(src2)) == 3
+
     # missing binary -> clear error
     import pytest
     with pytest.raises(FileNotFoundError):
